@@ -1,0 +1,253 @@
+"""Direct reconstruction classes (FBP, Fourier methods) — TPU-native.
+
+API-compatible equivalents of the reference's ``RecToolsDIR``
+(``tomobar/methodsDIR.py:18``) and ``RecToolsDIRCuPy``
+(``tomobar/methodsDIR_CuPy.py:26``).  On TPU there is no host/device class
+split: both classes run the same jitted XLA pipelines; ``RecToolsDIR``
+returns numpy arrays (host semantics) while ``RecToolsDIRCuPy`` returns
+device arrays (device semantics), so reference user code ports unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Literal, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tomobar_tpu.geometry import Geometry
+from tomobar_tpu.ops.projector import Projector
+from tomobar_tpu.ops.filters import filter_sino_sinc, sinc_filter_half
+from tomobar_tpu.utils.tools import (
+    apply_horiz_detector_padding,
+    check_kwargs,
+    data_dims_swapper,
+)
+
+__all__ = ["RecToolsDIR", "RecToolsDIRTPU"]
+
+
+class RecToolsDIR:
+    """Direct reconstruction: forward/back projection, FBP, Fourier recon.
+
+    Args mirror the reference constructor (``methodsDIR.py:32-69``):
+        DetectorsDimH: horizontal detector dimension.
+        DetectorsDimH_pad: symmetric horizontal detector padding.
+        DetectorsDimV: vertical detector dimension (0/None for 2D).
+        CenterRotOffset: CoR offset scalar or per-angle vector.
+        AnglesVec: projection angles in radians.
+        ObjSize: reconstructed slice size.
+        device_projector: accepted for API compatibility (ignored: XLA
+            places computation on the available accelerator).
+    """
+
+    #: whether public methods return numpy (host) or jax (device) arrays
+    _return_numpy = True
+
+    def __init__(
+        self,
+        DetectorsDimH,
+        DetectorsDimH_pad,
+        DetectorsDimV,
+        CenterRotOffset,
+        AnglesVec,
+        ObjSize,
+        projector: Literal["fourier", "astra"] = "astra",
+        device_projector="gpu",
+    ):
+        del projector, device_projector
+        if CenterRotOffset is None:
+            CenterRotOffset = 0.0
+        self.geom = Geometry(
+            detectors_x=int(DetectorsDimH),
+            detectors_y=None if not DetectorsDimV else int(DetectorsDimV),
+            angles=np.asarray(AnglesVec),
+            center_rot_offset=CenterRotOffset,
+            recon_size=int(ObjSize),
+            detectors_x_pad=int(DetectorsDimH_pad),
+        )
+        self.geom_detY = (
+            self.geom.is_2d is False
+        )  # 3D when vertical detector present
+        self.detectors_x_pad = self.geom.detectors_x_pad
+        self.angles_vec = self.geom.angles
+        self.centre_of_rotation = CenterRotOffset
+        self.recon_size = self.geom.recon_size
+        # when padding is requested the recon grid is enlarged; the public
+        # recon size stays ObjSize (reference methodsIR_CuPy.py:72-79 applies
+        # this in the IR class; DIR keeps the grid at ObjSize)
+        self.Atools = Projector(self.geom)
+        self.geom_label = "2D" if self.geom.is_2d else "3D"
+
+    # -- helpers -------------------------------------------------------------
+
+    def _maybe_np(self, arr):
+        if self._return_numpy:
+            return np.asarray(arr)
+        return arr
+
+    def _fp_input(self, data):
+        return jnp.asarray(data, dtype=jnp.float32)
+
+    # -- public API ----------------------------------------------------------
+
+    def FORWPROJ(self, data, **kwargs):
+        """Forward projection of a 2D/3D object.
+
+        Output canonical order: ["angles", "detX"] (2D) or
+        ["detY", "angles", "detX"] (3D); reorderable via
+        ``data_axes_labels_order``.
+        """
+        projected = self.Atools.fp(self._fp_input(data))
+        order = kwargs.get("data_axes_labels_order")
+        if order is not None:
+            labels = ["angles", "detX"] if projected.ndim == 2 else [
+                "detY",
+                "angles",
+                "detX",
+            ]
+            projected = data_dims_swapper(projected, order, labels)
+        return self._maybe_np(projected)
+
+    def BACKPROJ(self, data, **kwargs):
+        """Back-projection of 2D/3D projection data."""
+        data = self._fp_input(data)
+        order = kwargs.get("data_axes_labels_order")
+        if order is not None:
+            labels = ["angles", "detX"] if data.ndim == 2 else [
+                "detY",
+                "angles",
+                "detX",
+            ]
+            data = data_dims_swapper(data, order, labels)
+        data = apply_horiz_detector_padding(data, self.detectors_x_pad)
+        return self._maybe_np(self.Atools.bp(data))
+
+    def FBP(self, data, **kwargs):
+        """Filtered back-projection with the custom sinc filter.
+
+        2D input: ["angles", "detX"].  3D input canonical order follows the
+        reference device class: ["angles", "detY", "detX"]
+        (``methodsDIR_CuPy.py:123``) for this method only.
+        """
+        data = self._fp_input(data)
+        cutoff = kwargs.get("cutoff_freq", None)
+        order = kwargs.get("data_axes_labels_order")
+        if data.ndim == 2:
+            if order is not None:
+                data = data_dims_swapper(data, order, ["angles", "detX"])
+            if cutoff is None:
+                cutoff = 1.1  # host 2D path fixed a=1.1 (methodsDIR.py:297)
+            data = apply_horiz_detector_padding(data, self.detectors_x_pad)
+            filtered = filter_sino_sinc(data, cutoff)
+            rec = self.Atools.bp(filtered)
+        else:
+            if order is not None:
+                data = data_dims_swapper(data, order, ["angles", "detY", "detX"])
+            if cutoff is None:
+                cutoff = 0.35  # device default (methodsDIR_CuPy.py:133)
+            # to canonical (detY, angles, detX)
+            data = jnp.swapaxes(data, 0, 1)
+            data = apply_horiz_detector_padding(data, self.detectors_x_pad)
+            filtered = filter_sino_sinc(data, cutoff)
+            rec = self.Atools.bp(filtered)
+        rec = check_kwargs(
+            rec, recon_mask_radius=kwargs.get("recon_mask_radius"), cupyrun=False
+        )
+        return self._maybe_np(rec)
+
+    def FOURIER(self, data, **kwargs):
+        """2D Fourier-slice-theorem reconstruction (host path, mirrors
+        ``methodsDIR.py:177-254`` including the oversampled zero-padded grid
+        and scipy griddata interpolation)."""
+        if np.ndim(data) == 3:
+            raise ValueError(
+                "Fourier method is currently for 2D data only, use FBP if 3D "
+                "reconstruction needed"
+            )
+        method = kwargs.get("method", "linear")
+        if method not in ["linear", "nearest", "cubic"]:
+            raise ValueError(
+                "For griddata interpolation module choose nearest, linear or cubic"
+            )
+        order = kwargs.get("data_axes_labels_order")
+        data = np.asarray(data)
+        if order is not None:
+            data = np.asarray(data_dims_swapper(data, order, ["angles", "detX"]))
+
+        from scipy.fft import fft, fftshift, ifft2, ifftshift
+        from scipy.interpolate import griddata
+
+        obj_size = self.recon_size
+        oversampling = 2
+        angles_tot, det_h = data.shape
+        if det_h % 2 != 0:
+            raise ValueError(
+                "The horizontal detector size of the projection data "
+                "(sinogram) must be even"
+            )
+        det_x_up = oversampling * det_h
+        sino_up = np.zeros([angles_tot, det_x_up], dtype=np.float32)
+        cor = int(self.centre_of_rotation) if np.ndim(self.centre_of_rotation) == 0 else 0
+        pad_from = det_h // 2 + cor
+        pad_to = det_x_up - det_h // 2 + cor
+        sino_up[:, pad_from:pad_to] = data
+
+        sino_fft = fftshift(fft(ifftshift(sino_up, axes=1)), axes=1)
+        a = -self.geom.angles
+        r = np.arange(det_x_up) - det_x_up / 2
+        r, a = np.meshgrid(r, a)
+        srcx = (det_x_up / 2) + r.flatten() * np.cos(a.flatten())
+        srcy = (det_x_up / 2) + r.flatten() * np.sin(a.flatten())
+        dstx, dsty = np.meshgrid(np.arange(det_x_up), np.arange(det_x_up))
+        fft2_grid = griddata(
+            (srcy, srcx),
+            sino_fft.flatten(),
+            (dsty.flatten(), dstx.flatten()),
+            method,
+            fill_value=0.0,
+        ).reshape((det_x_up, det_x_up))
+        recon = np.real(fftshift(ifft2(ifftshift(fft2_grid))))
+        unpad_from = det_x_up // 2 - obj_size // 2
+        unpad_to = det_x_up // 2 + obj_size // 2
+        return recon[unpad_from:unpad_to, unpad_from:unpad_to]
+
+
+class RecToolsDIRTPU(RecToolsDIR):
+    """Device-resident direct reconstruction (returns JAX arrays).
+
+    Equivalent of the reference's ``RecToolsDIRCuPy``
+    (``methodsDIR_CuPy.py:26``); adds ``FOURIER_INV``.
+    """
+
+    _return_numpy = False
+
+    def __init__(
+        self,
+        DetectorsDimH,
+        DetectorsDimH_pad,
+        DetectorsDimV,
+        CenterRotOffset,
+        AnglesVec,
+        ObjSize,
+        projector: Literal["fourier", "astra"] = "astra",
+        device_projector=0,
+    ):
+        super().__init__(
+            DetectorsDimH,
+            DetectorsDimH_pad,
+            DetectorsDimV,
+            CenterRotOffset,
+            AnglesVec,
+            ObjSize,
+            projector,
+            device_projector,
+        )
+
+    def FOURIER_INV(self, data, **kwargs):
+        """Fourier direct inversion on unequally-spaced grids (USFFT /
+        log-polar family).  See :mod:`tomobar_tpu.ops.usfft`."""
+        from tomobar_tpu.ops.usfft import fourier_inv
+
+        return fourier_inv(self, data, **kwargs)

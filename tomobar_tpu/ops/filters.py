@@ -1,0 +1,141 @@
+"""FBP filters: custom sinc filter and the LPRec higher-order filter bank.
+
+TPU-native re-implementation of the reference's filter synthesis:
+
+* sinc filter — closed-form frequency response matching
+  ``tomobar/cuda_kernels/generate_filtersync.cu:5-82`` (device path,
+  parameter ``a = cutoff``) and ``tomobar/methodsDIR.py:257-320``
+  (host path, fixed ``a = 1.1``):
+  ``r(w) = |2/a * sin(a w / 2)| * (<sin(a w/2), a w/2> / <a w/2, a w/2>)^2``
+  on the grid ``w = -pi + k * 2*pi/n``.  The pinv-of-a-row-vector trick in
+  the CUDA kernel is just that scalar ratio.  No Pallas kernel is needed:
+  this is a tiny closed-form expression evaluated at trace time.
+
+* ``calc_filter`` — the LPRec filter bank (none/ramp/shepp/cosine/cosine2/
+  hamming/hann/parzen) built on a 12-point higher-order integral
+  discretisation (``tomobar/fourier.py:81-159``).  Computed in float64
+  numpy at trace time (static n), returned as a float32 device array.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = ["sinc_filter_half", "calc_filter", "filter_sino_sinc", "FILTER_TYPES"]
+
+FILTER_TYPES = (
+    "none",
+    "ramp",
+    "shepp",
+    "cosine",
+    "cosine2",
+    "hamming",
+    "hann",
+    "parzen",
+)
+
+
+def sinc_filter_half(n: int, a: float, multiplier: float = 1.0) -> np.ndarray:
+    """rfft-half sinc filter of length n//2+1 (static numpy, float32).
+
+    Matches ``generate_filtersync.cu``: the full filter is evaluated on
+    ``w = -pi + k*2*pi/n`` and written to ifftshifted positions, of which the
+    rfft half ``[0, n//2]`` is kept.  ``multiplier`` folds FFT scaling.
+    """
+    w = -np.pi + np.arange(n) * (2 * np.pi / n)
+    rd = a * w / 2.0
+    rn2 = np.sin(rd)
+    dot = float(np.dot(rn2, rd) / np.dot(rd, rd))
+    r = np.abs(2.0 / a * rn2) * dot * dot
+    full = np.fft.ifftshift(r)
+    return (full[: n // 2 + 1] * multiplier).astype(np.float32)
+
+
+def filter_sino_sinc(sino: jnp.ndarray, cutoff: float = 0.35) -> jnp.ndarray:
+    """Apply the sinc FBP filter along the last (detX) axis.
+
+    Equivalent of ``tomobar/fourier.py:26-78`` (``_filtersinc3D_cupy``):
+    rfft -> multiply the on-the-fly synthesised filter (with the 1/n_angles
+    scaling folded in) -> irfft.  Operates on the canonical
+    ``(detY, angles, detX)`` or ``(angles, detX)`` layout.
+    """
+    n_angles = sino.shape[-2]
+    det_x = sino.shape[-1]
+    filt = jnp.asarray(sinc_filter_half(det_x, cutoff, 1.0 / n_angles))
+    spec = jnp.fft.rfft(sino, axis=-1)
+    spec = spec * filt
+    return jnp.fft.irfft(spec, det_x, axis=-1).astype(sino.dtype)
+
+
+def _wint(n: int, t: np.ndarray) -> np.ndarray:
+    """Quadrature weights for higher-order integral discretisation.
+
+    Re-derivation of ``tomobar/fourier.py:81-108``: fit degree-(n-1)
+    polynomials through sliding windows of n frequency samples via an
+    inverse Vandermonde basis, integrate x*p(x) and p(x) exactly over the
+    short sub-intervals, and accumulate overlapping windows with weights
+    1/overlap-count.  The last 40 samples are replaced by a linear ramp to
+    suppress endpoint ringing (same as the reference).
+    """
+    N = len(t)
+    s = np.linspace(1e-40, 1, n)
+    # Inverse Vandermonde on the log grid
+    iv = np.linalg.inv(np.exp(np.outer(np.arange(n), np.log(s))))
+    # integrals of x^k over short intervals, k = 1..n+1 (for x*p) and 0..n (p)
+    powers = np.arange(1, n + 2)
+    u = np.diff(
+        np.exp(np.outer(powers, np.log(s))) / powers[:, None], axis=1
+    )
+    W1 = iv @ u[1 : n + 1, :]  # x*p_n(x) term
+    W2 = iv @ u[0:n, :]  # const*p_n(x) term
+
+    # overlap compensation: interior windows overlap (n-1)-fold
+    ramp_up = np.arange(1, n)
+    flat = (n - 1) * np.ones(N - 2 * (n - 1) - 1)
+    ramp_down = np.arange(n - 1, 0, -1)
+    p = 1.0 / np.concatenate((ramp_up, flat, ramp_down))
+    w = np.zeros(N)
+    for j in range(N - n + 1):
+        W = ((t[j + n - 1] - t[j]) ** 2) * W1 + (t[j + n - 1] - t[j]) * t[j] * W2
+        w[j : j + n] += W @ p[j : j + n - 1]
+
+    w[-40:] = w[-40] / (N - 40) * np.arange(N - 40, N)
+    return w
+
+
+def calc_filter(n: int, filter_type: str = "shepp", cutoff_freq: float = 1.0) -> jnp.ndarray:
+    """LPRec filter bank on the rfft half-grid (length n//2+1), float32.
+
+    Mirrors ``tomobar/fourier.py:111-159`` including the apodisation windows
+    and the doubled DC term.
+    """
+    d = 0.5
+    t = np.arange(0, n // 2 + 1) / n
+
+    if filter_type == "none":
+        wfa = n * cutoff_freq + t * 0
+        return jnp.asarray(wfa, dtype=jnp.float32)
+    base = n * cutoff_freq * _wint(12, t)
+    if filter_type == "ramp":
+        wfa = base
+    elif filter_type == "shepp":
+        wfa = base * np.sinc(t / (2 * d)) * (t / d <= 2)
+    elif filter_type == "cosine":
+        wfa = base * np.cos(np.pi * t / (2 * d)) * (t / d <= 1)
+    elif filter_type == "cosine2":
+        wfa = base * (np.cos(np.pi * t / (2 * d))) ** 2 * (t / d <= 1)
+    elif filter_type == "hamming":
+        wfa = base * (0.54 + 0.46 * np.cos(np.pi * t / d)) * (t / d <= 1)
+    elif filter_type == "hann":
+        wfa = base * (1 + np.cos(np.pi * t / d)) / 2.0 * (t / d <= 1)
+    elif filter_type == "parzen":
+        wfa = base * pow(1 - t / d, 3) * (t / d <= 1)
+    else:
+        raise ValueError(
+            f"Unknown filter '{filter_type}', choose one of {FILTER_TYPES}"
+        )
+
+    wfa = 2 * wfa * (wfa >= 0)
+    wfa[0] *= 2
+    return jnp.asarray(wfa, dtype=jnp.float32)

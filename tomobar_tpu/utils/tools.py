@@ -1,0 +1,254 @@
+"""Pre/post-processing support tools.
+
+TPU-native equivalents of ``tomobar/supp/suppTools.py`` and the axis-label
+machinery of ``tomobar/supp/funcs.py:84-206``.  Functions accept numpy or
+JAX arrays and return the same family (numpy in -> numpy out) so they can be
+used both host-side (data prep) and device-side (inside pipelines).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = [
+    "normaliser",
+    "autocropper",
+    "apply_circular_mask",
+    "perform_recon_crop",
+    "apply_horiz_detector_padding",
+    "check_kwargs",
+    "swap_data_axes_to_accepted",
+    "data_dims_swapper",
+]
+
+
+def _xp(data):
+    return np if isinstance(data, np.ndarray) else jnp
+
+
+# ---------------------------------------------------------------------------
+# axis-label ordering (reference: supp/funcs.py:84-171)
+# ---------------------------------------------------------------------------
+
+
+def _get_swap_tuple(data_axis_labels, labels_order):
+    for in_l1, str_1 in enumerate(labels_order):
+        for in_l2, str_2 in enumerate(data_axis_labels):
+            if str_1 == str_2 and in_l1 != in_l2:
+                return (in_l1, in_l2)
+    return None
+
+
+def swap_data_axes_to_accepted(
+    data_axes_labels: Sequence[str], required_labels_order: Sequence[str]
+) -> List[Optional[Tuple[int, int]]]:
+    """Compute the (up to two) axis swaps needed to reach the required order."""
+    if len(data_axes_labels) != len(required_labels_order):
+        raise ValueError(
+            "The mismatch in length between provided labels and data dimensions."
+        )
+    for lbl in data_axes_labels:
+        if lbl not in required_labels_order:
+            raise ValueError(
+                f'Axis title "{lbl}" is not valid, please use one of these: '
+                '"angles", "detX", or "detY"'
+            )
+    labels = list(data_axes_labels)
+    swap1 = _get_swap_tuple(labels, required_labels_order)
+    swap2 = None
+    if swap1 is not None:
+        labels[swap1[0]], labels[swap1[1]] = labels[swap1[1]], labels[swap1[0]]
+        swap2 = _get_swap_tuple(labels, required_labels_order)
+    return [swap1, swap2]
+
+
+def data_dims_swapper(data, data_axes_labels_order, required_labels_order):
+    """Swap array axes (or a shape tuple) into the required label order."""
+    swaps = swap_data_axes_to_accepted(data_axes_labels_order, required_labels_order)
+    for swap in swaps:
+        if swap is None:
+            continue
+        if isinstance(data, tuple):
+            items = list(data)
+            items[swap[0]], items[swap[1]] = items[swap[1]], items[swap[0]]
+            data = tuple(items)
+        else:
+            data = _xp(data).swapaxes(data, swap[0], swap[1])
+    return data
+
+
+# ---------------------------------------------------------------------------
+# normalisation (reference: suppTools.py:187-264)
+# ---------------------------------------------------------------------------
+
+
+def normaliser(
+    data: np.ndarray,
+    flats: np.ndarray,
+    darks: Optional[np.ndarray],
+    log: bool = True,
+    method: str = "mean",
+    axis: int = 0,
+    **kwargs,
+) -> np.ndarray:
+    """Flat/dark-field normalisation with optional -log transform.
+
+    Supports "mean" and "median" reductions over the flats/darks stacks; the
+    "dynamic" PCA-based method (eigen-flat-fields) lives in
+    :mod:`tomobar_tpu.utils.dffc` and requires its optional dependencies.
+    """
+    if np.ndim(data) == 2:
+        raise NameError("Normalisation is implemented for 3d data input")
+    if darks is None:
+        darks = np.zeros(np.shape(flats), dtype="float32")
+    if method is None or method == "mean":
+        flats = np.mean(flats, axis)
+        darks = np.mean(darks, axis)
+    elif method == "median":
+        flats = np.median(flats, axis)
+        darks = np.median(darks, axis)
+    elif method == "dynamic":
+        from tomobar_tpu.utils.dffc import dynamic_flatfield_correction
+
+        data_norm = dynamic_flatfield_correction(
+            data,
+            flats,
+            darks,
+            downsample=kwargs.get("dyn_downsample", 2),
+            n_pa_repetitions=kwargs.get("dyn_iterations", 10),
+        )[0]
+    else:
+        raise NameError(
+            "Please select an appropriate method for normalisation: "
+            "mean, median or dynamic"
+        )
+    if method != "dynamic":
+        denom = flats - darks
+        denom[np.where(denom <= 0.0)] = 1.0
+        if axis == 1:
+            denom = denom[:, np.newaxis, :]
+            darks = darks[:, np.newaxis, :]
+        nomin = data - darks
+        nomin[np.where(nomin < 0.0)] = 1.0
+        data_norm = np.true_divide(nomin, denom)
+
+    if log:
+        data_norm[data_norm > 0.0] = -np.log(data_norm[data_norm > 0.0])
+        data_norm[data_norm < 0.0] = 0.0
+    return data_norm
+
+
+# ---------------------------------------------------------------------------
+# auto-cropping (reference: suppTools.py:267-361)
+# ---------------------------------------------------------------------------
+
+
+def autocropper(data: np.ndarray, addbox: int, backgr_pix1: int) -> np.ndarray:
+    """Crop 3D projection data [Projections, detY, detX] using background
+    noise statistics from the vertical-mid side ROIs of each projection."""
+    backgr_pix2 = int(2.5 * backgr_pix1)
+    n_proj, det_v, det_h = np.shape(data)
+
+    left = np.zeros(n_proj, dtype=int)
+    right = np.zeros(n_proj, dtype=int)
+    up = np.zeros(n_proj, dtype=int)
+    down = np.zeros(n_proj, dtype=int)
+
+    for i in range(n_proj):
+        proj2d = data[i]
+        mid = det_v // 2
+        region_l = proj2d[mid - backgr_pix2 : mid + backgr_pix2, 0:backgr_pix1]
+        region_r = proj2d[mid - backgr_pix2 : mid + backgr_pix2, -1 - backgr_pix1 : -1]
+        val_mean = np.mean(region_l) + np.mean(region_r)
+        vert_sum = np.mean(proj2d, 1)
+        horiz_sum = np.mean(proj2d, 0)
+        lv = int((vert_sum == vert_sum.max()).argmax())
+        lh = int((horiz_sum == horiz_sum.max()).argmax())
+        min_v = 0 if lv == 0 else int((vert_sum[lv::-1] <= val_mean).argmax())
+        max_v = lv + 1 if lv == det_v - 1 else int((vert_sum[lv:-1] <= val_mean).argmax())
+        min_h = 0 if lh == 0 else int((horiz_sum[lh::-1] <= val_mean).argmax())
+        max_h = lh + 1 if lh == det_h - 1 else int((horiz_sum[lh:-1] <= val_mean).argmax())
+        if min_v != 0:
+            min_v = lv - min_v
+            if min_v - addbox >= 0:
+                min_v -= addbox
+        if max_v != det_v:
+            max_v = lv + max_v
+            if max_v + addbox < det_v:
+                max_v += addbox
+        if min_h != 0:
+            min_h = lh - min_h
+            if min_h - addbox >= 0:
+                min_h -= addbox
+        if max_h != det_h:
+            max_h = lh + max_h
+            if max_h + addbox < det_h:
+                max_h += addbox
+        left[i], right[i], up[i], down[i] = min_h, max_h, min_v, max_v
+
+    return data[:, up.min() : down.max(), left.min() : right.max()]
+
+
+# ---------------------------------------------------------------------------
+# masking / cropping / padding (reference: suppTools.py:364-459)
+# ---------------------------------------------------------------------------
+
+
+def apply_circular_mask(data, recon_mask_radius: float, cupyrun: bool = False):
+    """Zero values outside a circular mask.
+
+    Radius semantics mirror the reference (``suppTools.py:387-394``):
+    values <= 1 shrink the mask, values > 1 grow it (so e.g. 2.0 is a
+    de-facto no-op used by demos to disable cropping).
+    """
+    del cupyrun  # kept for API compatibility; array family is auto-detected
+    xp = _xp(data)
+    axis = 2 if data.ndim == 3 else 1
+    recon_size = data.shape[axis]
+    half = recon_size // 2
+    Y, X = np.ogrid[:recon_size, :recon_size]
+    dist = np.sqrt((X - half) ** 2 + (Y - half) ** 2)
+    if recon_mask_radius <= 1.0:
+        mask = dist <= half - abs(half - half / recon_mask_radius)
+    else:
+        mask = dist <= half + abs(half - half / recon_mask_radius)
+    mask = xp.asarray(mask, dtype=data.dtype)
+    return data * mask
+
+
+def perform_recon_crop(data, cropped_size: int):
+    """Centre-crop a (padded) reconstruction back to ``cropped_size``."""
+    axis = 2 if data.ndim == 3 else 0
+    original = data.shape[axis]
+    start = (original - cropped_size) // 2
+    stop = cropped_size + start
+    if data.ndim == 3:
+        return data[:, start:stop, start:stop]
+    return data[start:stop, start:stop]
+
+
+def apply_horiz_detector_padding(data, detector_width_pad: int, cupyrun: bool = False):
+    """Edge-pad detX symmetrically; 3D data is [detY, angles, detX], 2D is
+    [angles, detX] (reference ``suppTools.py:425-459``)."""
+    del cupyrun
+    if detector_width_pad <= 0:
+        return data
+    xp = _xp(data)
+    if data.ndim == 2:
+        pads = ((0, 0), (detector_width_pad, detector_width_pad))
+    else:
+        pads = ((0, 0), (0, 0), (detector_width_pad, detector_width_pad))
+    return xp.pad(data, pads, mode="edge")
+
+
+def check_kwargs(reconstruction, **kwargs):
+    """Post-hoc application of optional kwargs (mask)."""
+    for key, value in kwargs.items():
+        if key == "recon_mask_radius" and value is not None:
+            reconstruction = apply_circular_mask(
+                reconstruction, value, kwargs.get("cupyrun", False)
+            )
+    return reconstruction
