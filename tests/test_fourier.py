@@ -1,0 +1,120 @@
+"""Filter bank + USFFT direct-inversion tests (modelled on reference
+tests/test_fourier.py and the FOURIER_INV coverage of
+tests/test_RecToolsDIRCuPy.py: golden stability, odd-size promotion,
+blockwise consistency)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tomobar_tpu.ops.filters import FILTER_TYPES, calc_filter, sinc_filter_half
+from tomobar_tpu import RecToolsDIRCuPy
+from tomobar_tpu.geometry import Geometry
+from tomobar_tpu.ops.projector import radon_fp
+
+
+class TestFilters:
+    @pytest.mark.parametrize("ftype", FILTER_TYPES)
+    def test_calc_filter_finite_positive(self, ftype):
+        f = np.asarray(calc_filter(128, ftype, 1.0))
+        assert f.shape == (65,)
+        assert np.isfinite(f).all()
+        assert (f >= 0).all()
+
+    def test_calc_filter_ramp_monotone_midband(self):
+        f = np.asarray(calc_filter(256, "ramp", 1.0))
+        # ramp grows with frequency over the midband
+        assert f[40] < f[80] < f[120]
+
+    def test_sinc_filter_symmetry_and_scale(self):
+        f = sinc_filter_half(128, 1.1, 1.0)
+        assert f.shape == (65,)
+        assert f[0] == pytest.approx(0.0, abs=1e-5)  # DC ~ 0 for ramp-like
+        assert np.isfinite(f).all()
+
+    def test_unknown_filter_raises(self):
+        with pytest.raises(ValueError):
+            calc_filter(64, "bogus", 1.0)
+
+
+@pytest.fixture(scope="module")
+def fourier_problem(phantom3d, angles180):
+    N = phantom3d.shape[1]
+    nz = phantom3d.shape[0]
+    geom = Geometry(
+        detectors_x=N, detectors_y=nz, angles=angles180, recon_size=N
+    )
+    sino = np.asarray(radon_fp(jnp.asarray(phantom3d), geom))
+    rt = RecToolsDIRCuPy(N, 0, nz, 0.0, angles180, N)
+    return dict(rt=rt, sino=sino, phantom=phantom3d, N=N, nz=nz)
+
+
+class TestFourierInv:
+    def test_reconstructs(self, fourier_problem):
+        rec = np.asarray(
+            fourier_problem["rt"].FOURIER_INV(
+                fourier_problem["sino"], filter_type="shepp"
+            )
+        )
+        ph = fourier_problem["phantom"]
+        assert rec.shape == ph.shape
+        corr = np.corrcoef(rec[0].ravel(), ph[0].ravel())[0, 1]
+        assert corr > 0.9
+
+    def test_matches_projector_geometry(self, fourier_problem):
+        """Re-projection of the recon aligns with the input sinogram (no
+        sub-pixel offset) — the invariant behind the half-pixel fix."""
+        rec = np.asarray(
+            fourier_problem["rt"].FOURIER_INV(
+                fourier_problem["sino"], filter_type="ramp"
+            )
+        )
+        N, nz = fourier_problem["N"], fourier_problem["nz"]
+        geom = Geometry(
+            detectors_x=N,
+            detectors_y=None,
+            angles=fourier_problem["rt"].geom.angles,
+            recon_size=N,
+        )
+        resino = np.asarray(radon_fp(jnp.asarray(rec[0]), geom))
+        for i in (0, 30, 60):
+            a = fourier_problem["sino"][0, i]
+            b = resino[i]
+            xc = np.correlate(b - b.mean(), a - a.mean(), "full")
+            lag = abs(int(xc.argmax()) - (len(a) - 1))
+            assert lag == 0, f"angle {i}: lag {lag}"
+
+    def test_blockwise_consistency(self, fourier_problem):
+        """Recon in detY blocks equals the full recon (reference invariant,
+        test_RecToolsDIRCuPy.py:253-338)."""
+        sino = fourier_problem["sino"]
+        full = np.asarray(
+            fourier_problem["rt"].FOURIER_INV(sino, filter_type="shepp")
+        )
+        N = fourier_problem["N"]
+        parts = []
+        for z0 in range(0, sino.shape[0], 2):
+            blk = sino[z0 : z0 + 2]
+            rt = RecToolsDIRCuPy(
+                N, 0, blk.shape[0], 0.0, fourier_problem["rt"].geom.angles, N
+            )
+            parts.append(np.asarray(rt.FOURIER_INV(blk, filter_type="shepp")))
+        rec = np.concatenate(parts, axis=0)
+        np.testing.assert_allclose(rec, full, rtol=1e-3, atol=1e-4)
+
+    def test_odd_sizes_promoted(self, fourier_problem):
+        sino = fourier_problem["sino"][:3, :, :]  # odd detY
+        rt = RecToolsDIRCuPy(
+            fourier_problem["N"], 0, 3, 0.0,
+            fourier_problem["rt"].geom.angles, fourier_problem["N"],
+        )
+        rec = np.asarray(rt.FOURIER_INV(sino, filter_type="shepp"))
+        assert rec.shape[0] == 3
+
+    def test_recon_size_too_large_raises(self, fourier_problem):
+        rt = RecToolsDIRCuPy(
+            fourier_problem["N"], 0, fourier_problem["nz"], 0.0,
+            fourier_problem["rt"].geom.angles, fourier_problem["N"] * 2,
+        )
+        with pytest.raises(ValueError):
+            rt.FOURIER_INV(fourier_problem["sino"])
