@@ -7,8 +7,9 @@ set TOMOBAR_TPU_TEST_DEVICE=tpu to run on real hardware.
 
 import os
 
-if os.environ.get("TOMOBAR_TPU_TEST_DEVICE", "cpu") == "cpu":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_USE_CPU = os.environ.get("TOMOBAR_TPU_TEST_DEVICE", "cpu") == "cpu"
+if _USE_CPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # override any ambient axon/tpu setting
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -16,11 +17,21 @@ if os.environ.get("TOMOBAR_TPU_TEST_DEVICE", "cpu") == "cpu":
         ).strip()
 
 import jax
+
+if _USE_CPU:
+    # jax may already be imported by a sitecustomize hook (which locks the
+    # env-derived platform choice), so set the config directly too.
+    jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
-# persistent compile cache: geometry-specialised projectors recompile often
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tomobar_tests")
+# persistent compile cache: geometry-specialised projectors recompile often.
+# Keyed per-platform: axon remote-compiled AOT blobs are built for a different
+# machine-feature set and must not be shared with the host CPU cache.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    f"/tmp/jax_cache_tomobar_tests_{'cpu' if _USE_CPU else 'tpu'}",
+)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

@@ -58,8 +58,16 @@ class TestFourierInv:
         )
         ph = fourier_problem["phantom"]
         assert rec.shape == ph.shape
-        corr = np.corrcoef(rec[0].ravel(), ph[0].ravel())[0, 1]
-        assert corr > 0.9
+        # the Fourier method only reconstructs the inscribed circle (the
+        # corners are outside the measured frequency disc — the reference
+        # masks them via recon_mask_radius); compare within it
+        N = ph.shape[1]
+        yy, xx = np.mgrid[0:N, 0:N]
+        m = np.hypot(yy - (N - 1) / 2, xx - (N - 1) / 2) < N / 2
+        corr = np.corrcoef(rec[0][m], ph[0][m])[0, 1]
+        # 0.93+ at N=64/90 angles (discretisation-bound; reaches ~0.99 vs a
+        # classic FBP of the same data at N>=128)
+        assert corr > 0.92
 
     def test_matches_projector_geometry(self, fourier_problem):
         """Re-projection of the recon aligns with the input sinogram (no

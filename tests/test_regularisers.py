@@ -54,11 +54,15 @@ class TestPDTV:
 
     def test_nonneg_variant(self, noisy2d):
         out = np.asarray(PD_TV(jnp.asarray(noisy2d), 0.1, 100, 0, 1, 8.0))
+        free = np.asarray(PD_TV(jnp.asarray(noisy2d), 0.1, 100, 0, 0, 8.0))
         # nonneg clamps the primal inside the iteration; the over-relaxation
         # step after the clamp can undershoot slightly (reference behaviour:
-        # U_out = U_new + theta*(U_new - clamped U))
+        # U_out = U_new + theta*(U_new - clamped U)), so the output is not
+        # exactly >= 0 — but the negative mass must be strongly suppressed
+        # relative to the unconstrained variant
+        neg = lambda a: float(np.abs(a[a < 0]).sum())
         assert out.min() > -0.2
-        assert (out < 0).mean() < 0.2
+        assert neg(out) < 0.25 * neg(free)
 
     def test_half_precision_close_to_full(self, noisy2d):
         full = np.asarray(PD_TV(jnp.asarray(noisy2d), 0.1, 50, 0, 0, 8.0))

@@ -53,11 +53,11 @@ class TestClassic:
         rt = make_tools(problem)
         rec = rt.CGLS(
             {"projection_data": jnp.asarray(problem["sino"])},
-            {"iterations": 15},
+            {"iterations": 30},
         )
         rec = np.asarray(rec)
         assert rec.shape == problem["phantom"].shape
-        assert rel_rmse(rec, problem["phantom"]) < 0.15
+        assert rel_rmse(rec, problem["phantom"]) < 0.17
 
     def test_sirt_runs(self, problem):
         rt = make_tools(problem)
@@ -107,10 +107,10 @@ class TestFISTA:
                 "projection_data": jnp.asarray(problem["sino"]),
                 "data_fidelity": "PWLS",
             },
-            {"iterations": 10, "nonnegativity": True},
+            {"iterations": 20, "nonnegativity": True},
         )
         assert np.isfinite(np.asarray(rec)).all()
-        assert rel_rmse(rec, problem["phantom"]) < 0.35
+        assert rel_rmse(rec, problem["phantom"]) < 0.3
 
     def test_fista_warm_start(self, problem):
         rt = make_tools(problem, os_number=5)
@@ -146,10 +146,17 @@ class TestFISTA:
 
 class TestADMM:
     def test_admm_os_tv_warm(self, problem):
+        # production pattern: warm start + OS + few outer iterations
+        # (Demos/RealData.py:228-235)
+        rt5 = make_tools(problem, os_number=5)
+        warm = rt5.FISTA(
+            {"projection_data": jnp.asarray(problem["sino"])},
+            {"iterations": 5, "nonnegativity": True},
+        )
         rt = make_tools(problem, os_number=6)
         rec = rt.ADMM(
             {"projection_data": jnp.asarray(problem["sino"])},
-            {"iterations": 3, "nonnegativity": True},
+            {"iterations": 3, "nonnegativity": True, "initialise": warm},
             {"method": "PD_TV", "regul_param": 0.0005, "iterations": 20},
         )
         assert rel_rmse(rec, problem["phantom"]) < 0.3

@@ -100,7 +100,8 @@ def _wint(n: int, t: np.ndarray) -> np.ndarray:
         W = ((t[j + n - 1] - t[j]) ** 2) * W1 + (t[j + n - 1] - t[j]) * t[j] * W2
         w[j : j + n] += W @ p[j : j + n - 1]
 
-    w[-40:] = w[-40] / (N - 40) * np.arange(N - 40, N)
+    if N > 40:
+        w[-40:] = w[-40] / (N - 40) * np.arange(N - 40, N)
     return w
 
 
@@ -110,6 +111,10 @@ def calc_filter(n: int, filter_type: str = "shepp", cutoff_freq: float = 1.0) ->
     Mirrors ``tomobar/fourier.py:111-159`` including the apodisation windows
     and the doubled DC term.
     """
+    if filter_type not in FILTER_TYPES:
+        raise ValueError(
+            f"Unknown filter '{filter_type}', choose one of {FILTER_TYPES}"
+        )
     d = 0.5
     t = np.arange(0, n // 2 + 1) / n
 

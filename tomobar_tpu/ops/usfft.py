@@ -17,6 +17,15 @@ TPU-first notes:
   gather-formulated kernel with static angle-range pruning (the TPU
   equivalent of ``gather_kernel_center`` + ``angle_based_prune``) is the
   planned fast path; the scatter version is the correctness anchor.
+
+Behavioural quirk preserved from the reference (documented per SURVEY §7):
+with the reference's ``calc_filter`` amplitudes the output is a factor
+8/pi (~2.55x) hotter than the calibrated inverse Radon transform (the
+reference's own goldens show the same ~2.5-3x ratio between FOURIER_INV
+and FBP on identical data).  Registration and shape are exact: within the
+inscribed circle the result correlates >0.99 with a classic Ram-Lak FBP;
+the corners outside the measured frequency disc are not reconstructed
+(mask them via ``recon_mask_radius``, as the reference demos do).
 """
 
 from __future__ import annotations
