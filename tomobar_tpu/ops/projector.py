@@ -47,7 +47,36 @@ __all__ = [
     "forward_project",
     "back_project",
     "Projector",
+    "set_projector_backend",
 ]
+
+# ---------------------------------------------------------------------------
+# backend selection: "auto" uses the Pallas two-pass kernels on TPU and the
+# XLA gather path elsewhere; override with set_projector_backend() or the
+# TOMOBAR_TPU_PROJECTOR env var ("auto" | "pallas" | "xla").
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_BACKEND = _os.environ.get("TOMOBAR_TPU_PROJECTOR", "auto")
+
+
+def set_projector_backend(name: str) -> None:
+    """Select the projector implementation: "auto", "pallas" or "xla"."""
+    global _BACKEND
+    if name not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown projector backend {name!r}")
+    _BACKEND = name
+
+
+def _use_pallas() -> bool:
+    if _BACKEND == "xla":
+        return False
+    from tomobar_tpu.ops.projector_pallas import pallas_available
+
+    if _BACKEND == "pallas":
+        return True
+    return pallas_available()
 
 # Target size (elements) for gather intermediates inside the scan loops.
 _BLOCK_BUDGET_ELEMS = 16 * 1024 * 1024
@@ -220,6 +249,10 @@ def _angle_partition(angles: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 def radon_fp(vol: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
     """Forward-project a volume.  vol (nz, n, n) or (n, n) -> sino
     (nz, n_angles, det_x_total) or (n_angles, det_x_total)."""
+    if _use_pallas():
+        from tomobar_tpu.ops.projector_pallas import radon_fp_pallas
+
+        return radon_fp_pallas(vol, geom)
     squeeze = vol.ndim == 2
     if squeeze:
         vol = vol[None]
@@ -250,6 +283,10 @@ def radon_bp(sino: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
     sino (nz, n_angles, det_x_total) or 2D -> vol (nz, n, n) or (n, n).
     The output slice size is ``geom.recon_size``.
     """
+    if _use_pallas():
+        from tomobar_tpu.ops.projector_pallas import radon_bp_pallas
+
+        return radon_bp_pallas(sino, geom)
     squeeze = sino.ndim == 2
     if squeeze:
         sino = sino[None]

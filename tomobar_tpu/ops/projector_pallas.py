@@ -1,0 +1,449 @@
+"""Pallas TPU kernels for the parallel-beam projector pair (fast path).
+
+Replaces the XLA-gather formulation of :mod:`tomobar_tpu.ops.projector`
+with a two-pass separable operator designed for the TPU memory system,
+using only constructs Mosaic executes well: 128-aligned dynamic slices,
+dynamic lane rotates, and MXU matmuls — no gathers, no scatters:
+
+  FP_a = |alpha| * Resample_a( ShearSum_a( vol ) )
+  BP_a = ShearSum_a^T( Resample_a^T( sino ) )        (exact transposes)
+
+with, per angle ``a`` (x-driven when |cos| >= |sin|; roles swapped
+otherwise):
+
+* ``ShearSum``: every image row y is shifted by ``beta*(y-cy)``
+  (2-tap linear) and accumulated into a per-angle u-line — implemented as
+  a per-row dynamic *lane roll* (fine shift) + 128-aligned dynamic-slice
+  accumulate (coarse shift).
+* ``Resample``: the u-line is sampled at detector positions
+  ``alpha*t + gamma`` — implemented as a banded interpolation matrix built
+  on the fly per 128-wide output tile and applied on the MXU.
+
+The shear kernels process ``_AB`` angles per volume pass so the volume is
+streamed from HBM A/_AB times instead of A times (the HBM-bandwidth term
+that dominates at production sizes).
+
+The operator semantics are "2-pass separable linear interpolation"
+(kernel support 3, partition of unity) — slightly smoother than the 1-pass
+Joseph XLA fallback (~1-2% on phantom data), and an exact numerical
+adjoint pair (which ASTRA's FP/BP is not; cf. SURVEY.md hard-part #1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tomobar_tpu.geometry import Geometry
+
+__all__ = ["pallas_available", "radon_fp_pallas", "radon_bp_pallas"]
+
+_AB = 16  # angles per shear-kernel pass (bounds VMEM for the s/q blocks)
+_TT = 128  # resample output tile (lanes)
+_TW = 512  # resample input window (covers 128*sqrt(2) + align + slack)
+_UT = 128  # resample-transpose output tile
+# t-window per u-tile: up to 127/|alpha| <= 127 samples + kernel margin
+# + up to 128 lost to 128-alignment of the window start => 384 lanes
+_PW = 384
+_YB_VMEM_BUDGET = 2 * 1024 * 1024  # bytes for the (YB, nz, NXP) volume block
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def pallas_available() -> bool:
+    """True when the default backend is a TPU."""
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+class _DrivenParams(NamedTuple):
+    """Static per-angle-group parameters for one driven-axis group.
+
+    alpha/beta/gamma are padded to a multiple of ``_AB`` (alpha=1, beta=0,
+    gamma=0 for padding); ``A`` is the real angle count.
+    """
+
+    alpha: np.ndarray  # 1/cos for x-driven (signed)
+    beta: np.ndarray  # -tan
+    gamma: np.ndarray  # alpha*(cor - (T-1)/2) + (nx-1)/2
+    A: int
+    det_x: int
+    U0: int
+    NXP: int
+    LU: int
+
+
+def _driven_params(
+    cos_v: np.ndarray,
+    sin_v: np.ndarray,
+    cor_v: np.ndarray,
+    det_x: int,
+    ny: int,
+    nx: int,
+) -> _DrivenParams:
+    alpha = 1.0 / cos_v
+    beta = -sin_v / cos_v
+    gamma = alpha * (cor_v - (det_x - 1) / 2.0) + (nx - 1) / 2.0
+    A = alpha.shape[0]
+    A_pad = _round_up(max(A, 1), _AB)
+    alpha = np.concatenate([alpha, np.ones(A_pad - A)])
+    beta = np.concatenate([beta, np.zeros(A_pad - A)])
+    gamma = np.concatenate([gamma, np.zeros(A_pad - A)])
+    NXP = _round_up(nx + 2, 128) + 128  # row padded; roll headroom
+    U0 = _round_up(ny // 2 + 2, 128)
+    LU = _round_up(U0 + ny // 2 + 2 + NXP, 128) + 128
+    return _DrivenParams(
+        alpha.astype(np.float32),
+        beta.astype(np.float32),
+        gamma.astype(np.float32),
+        A,
+        det_x,
+        U0,
+        NXP,
+        LU,
+    )
+
+
+def _pick_yb(ny: int, nz: int, nxp: int) -> int:
+    """Largest row block that divides ny and keeps the streamed volume
+    block within the VMEM budget."""
+    cap = max(1, _YB_VMEM_BUDGET // max(1, nz * nxp * 4))
+    for yb in (256, 128, 64, 32, 16, 8, 4, 2):
+        if yb <= cap and ny % yb == 0:
+            return yb
+    return 1
+
+
+# ---------------------------------------------------------------------------
+# K1: shear-sum (FP first pass)   vol_t (ny, nz, NXP) -> s (A_pad, nz, LU)
+# s[a, u] = sum_y lin-interp of row y at x = u - U0 + beta_a*(y-cy)
+# ---------------------------------------------------------------------------
+
+
+def _shear_fp_kernel(beta_ref, vol_ref, s_ref, *, YB, U0, NXP, ny):
+    ab = pl.program_id(0)
+    yb = pl.program_id(1)
+
+    @pl.when(yb == 0)
+    def _():
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    cy = (ny - 1) / 2.0
+
+    def row_body(i, _):
+        y = (yb * YB + i).astype(jnp.float32)
+        row = vol_ref[i]  # (nz, NXP)
+        row_l = pltpu.roll(row, NXP - 1, 1)  # row[j+1]
+
+        def ang_body(ia, _):
+            beta = beta_ref[ab * _AB + ia]
+            shift = beta * (y - cy)
+            kf = jnp.floor(shift)
+            f = shift - kf
+            o = U0 - kf.astype(jnp.int32)
+            o_hi = o // 128
+            o_lo = o - o_hi * 128
+            g = (1.0 - f) * row + f * row_l
+            g = pltpu.roll(g, o_lo, 1)
+            off = pl.multiple_of(o_hi * 128, 128)
+            s_ref[ia, :, pl.ds(off, NXP)] += g
+            return 0
+
+        jax.lax.fori_loop(0, _AB, ang_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, YB, row_body, 0)
+
+
+# ---------------------------------------------------------------------------
+# K2: resample (FP second pass)   s (A_pad, nz, LU) -> p (A_pad, nz, TP)
+# p[t] = |alpha| * sum_u s[u] * hat(U0 + alpha*t + gamma - u)
+# ---------------------------------------------------------------------------
+
+
+def _resample_fp_kernel(alpha_ref, gamma_ref, s_ref, p_ref, *, U0, LU, det_x):
+    a = pl.program_id(0)
+    tt = pl.program_id(1)
+    alpha = alpha_ref[a]
+    gamma = gamma_ref[a]
+    t0 = (tt * _TT).astype(jnp.float32)
+
+    # window start: cover [min pos, max pos] over the tile
+    pos_lo = U0 + gamma + jnp.minimum(alpha * t0, alpha * (t0 + _TT - 1))
+    u0 = jnp.floor(pos_lo).astype(jnp.int32) - 2
+    u0 = jnp.clip(u0, 0, LU - _TW)
+    u0 = (u0 // 128) * 128
+    u0 = pl.multiple_of(u0, 128)
+
+    win = s_ref[0, :, pl.ds(u0, _TW)]  # (nz, TW); block is pre-sliced to a
+    # banded interp matrix M[w, t] = |alpha| * hat(pos_t - (u0 + w))
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (_TW, _TT), 1).astype(jnp.float32)
+    w_ids = jax.lax.broadcasted_iota(jnp.int32, (_TW, _TT), 0).astype(jnp.float32)
+    pos = U0 + gamma + alpha * (t0 + t_ids)
+    m = jnp.maximum(0.0, 1.0 - jnp.abs(pos - (u0.astype(jnp.float32) + w_ids)))
+    m = m * jnp.abs(alpha)
+    p_ref[0] = jnp.dot(win, m, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# K3: resample transpose (BP first pass)  p (A_pad, nz, TP) -> q (A_pad, nz, LU)
+# q[u] = |alpha| * sum_t p[t] * hat(U0 + alpha*t + gamma - u)
+# ---------------------------------------------------------------------------
+
+
+def _resample_bp_kernel(alpha_ref, gamma_ref, p_ref, q_ref, *, U0, TP, det_x):
+    a = pl.program_id(0)
+    ut = pl.program_id(1)
+    alpha = alpha_ref[a]
+    gamma = gamma_ref[a]
+    u0 = (ut * _UT).astype(jnp.float32)
+
+    # contributing t range: t = (u - U0 - gamma) / alpha over the tile
+    tc0 = (u0 - U0 - gamma) / alpha
+    tc1 = (u0 + _UT - 1 - U0 - gamma) / alpha
+    t_lo = jnp.floor(jnp.minimum(tc0, tc1)).astype(jnp.int32) - 2
+    t_lo = jnp.clip(t_lo, 0, TP - _PW)
+    t_lo = (t_lo // 128) * 128
+    t_lo = pl.multiple_of(t_lo, 128)
+
+    win = p_ref[0, :, pl.ds(t_lo, _PW)]  # (nz, PW); block is pre-sliced to a
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (_PW, _UT), 0).astype(jnp.float32)
+    u_ids = jax.lax.broadcasted_iota(jnp.int32, (_PW, _UT), 1).astype(jnp.float32)
+    pos = U0 + gamma + alpha * (t_lo.astype(jnp.float32) + t_ids)
+    m = jnp.maximum(0.0, 1.0 - jnp.abs(pos - (u0 + u_ids)))
+    # zero padded-detector region beyond det_x (p is padded to TP lanes)
+    valid = (t_lo.astype(jnp.float32) + t_ids) < det_x
+    m = jnp.where(valid, m, 0.0) * jnp.abs(alpha)
+    q_ref[0] = jnp.dot(win, m, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# K4: shear-sum transpose (BP second pass)
+# q (A_pad, nz, LU) -> vol_t (ny, nz, NXP)
+# vol_row_y[j] = sum_a (1-f)*q[a, o+j] + f*q[a, o+j-1]
+# ---------------------------------------------------------------------------
+
+
+def _unshear_bp_kernel(beta_ref, q_ref, vol_ref, *, YB, U0, NXP, ny):
+    yb = pl.program_id(0)
+    ab = pl.program_id(1)
+
+    @pl.when(ab == 0)
+    def _():
+        vol_ref[...] = jnp.zeros_like(vol_ref)
+
+    cy = (ny - 1) / 2.0
+
+    def row_body(i, _):
+        y = (yb * YB + i).astype(jnp.float32)
+
+        def ang_body(ia, acc):
+            beta = beta_ref[ab * _AB + ia]
+            shift = beta * (y - cy)
+            kf = jnp.floor(shift)
+            f = shift - kf
+            o = U0 - kf.astype(jnp.int32)
+            # window based on o-1 so both q[o+j] and q[o+j-1] are in range
+            # even when (o mod 128) == 0 (a roll on a window starting at o
+            # would wrap)
+            o1 = o - 1
+            o1_hi = o1 // 128
+            o1_lo = o1 - o1_hi * 128
+            off = pl.multiple_of(o1_hi * 128, 128)
+            win = q_ref[ia, :, pl.ds(off, NXP)]  # (nz, NXP)
+            wr = pltpu.roll(win, NXP - o1_lo - 1, 1)  # win[j+o1_lo+1]=q[o+j]
+            wr_m1 = pltpu.roll(win, NXP - o1_lo, 1)  # q[o+j-1]
+            return acc + (1.0 - f) * wr + f * wr_m1
+
+        acc = jax.lax.fori_loop(
+            0, _AB, ang_body, jnp.zeros_like(vol_ref[i])
+        )
+        vol_ref[i] += acc
+        return 0
+
+    jax.lax.fori_loop(0, YB, row_body, 0)
+
+
+# ---------------------------------------------------------------------------
+# host-side drivers
+# ---------------------------------------------------------------------------
+
+
+def _fp_driven_pallas(vol: jnp.ndarray, prm: _DrivenParams) -> jnp.ndarray:
+    """vol (nz, ny, nx) -> sino (nz, A, det_x) for one driven group."""
+    nz, ny, nx = vol.shape
+    A_pad = prm.alpha.shape[0]
+    YB = _pick_yb(ny, nz, prm.NXP)
+    TP = _round_up(prm.det_x, _TT)
+
+    vol_t = jnp.swapaxes(vol, 0, 1)  # (ny, nz, nx)
+    vol_t = jnp.pad(vol_t, ((0, 0), (0, 0), (0, prm.NXP - nx)))
+
+    alpha = jnp.asarray(prm.alpha)
+    beta = jnp.asarray(prm.beta)
+    gamma = jnp.asarray(prm.gamma)
+
+    s = pl.pallas_call(
+        partial(_shear_fp_kernel, YB=YB, U0=prm.U0, NXP=prm.NXP, ny=ny),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(A_pad // _AB, ny // YB),
+            in_specs=[
+                pl.BlockSpec(
+                    (YB, nz, prm.NXP), lambda ab, yb, *_: (yb, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (_AB, nz, prm.LU), lambda ab, yb, *_: (ab, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((A_pad, nz, prm.LU), jnp.float32),
+    )(beta, vol_t)
+
+    p = pl.pallas_call(
+        partial(_resample_fp_kernel, U0=prm.U0, LU=prm.LU, det_x=prm.det_x),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(A_pad, TP // _TT),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, nz, prm.LU), lambda a, tt, *_: (a, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (1, nz, _TT), lambda a, tt, *_: (a, 0, tt),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((A_pad, nz, TP), jnp.float32),
+    )(alpha, gamma, s)
+
+    return jnp.swapaxes(p[: prm.A, :, : prm.det_x], 0, 1)  # (nz, A, det_x)
+
+
+def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
+    """sino (nz, A, det_x) -> vol (nz, ny, nx) for one driven group."""
+    nz = sino.shape[0]
+    A_pad = prm.alpha.shape[0]
+    YB = _pick_yb(ny, nz, prm.NXP)
+    TP = _round_up(prm.det_x, 128) + _PW  # padded detector lanes
+
+    p = jnp.swapaxes(sino, 0, 1)  # (A, nz, det_x)
+    p = jnp.pad(
+        p, ((0, A_pad - prm.A), (0, 0), (0, TP - prm.det_x))
+    )  # zero rows for padded angles -> q rows are zero -> no BP contribution
+
+    alpha = jnp.asarray(prm.alpha)
+    beta = jnp.asarray(prm.beta)
+    gamma = jnp.asarray(prm.gamma)
+
+    q = pl.pallas_call(
+        partial(_resample_bp_kernel, U0=prm.U0, TP=TP, det_x=prm.det_x),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(A_pad, prm.LU // _UT),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, nz, TP), lambda a, ut, *_: (a, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (1, nz, _UT), lambda a, ut, *_: (a, 0, ut),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((A_pad, nz, prm.LU), jnp.float32),
+    )(alpha, gamma, p)
+
+    vol_t = pl.pallas_call(
+        partial(_unshear_bp_kernel, YB=YB, U0=prm.U0, NXP=prm.NXP, ny=ny),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ny // YB, A_pad // _AB),
+            in_specs=[
+                pl.BlockSpec(
+                    (_AB, nz, prm.LU), lambda yb, ab, *_: (ab, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (YB, nz, prm.NXP), lambda yb, ab, *_: (yb, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((ny, nz, prm.NXP), jnp.float32),
+    )(beta, q)
+
+    return jnp.swapaxes(vol_t[:, :, :nx], 0, 1)  # (nz, ny, nx)
+
+
+def _partition(angles: np.ndarray):
+    cos_v, sin_v = np.cos(angles), np.sin(angles)
+    xdrive = np.abs(cos_v) >= np.abs(sin_v)
+    return cos_v, sin_v, np.where(xdrive)[0], np.where(~xdrive)[0]
+
+
+def radon_fp_pallas(vol: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
+    """Pallas forward projector; drop-in for
+    :func:`tomobar_tpu.ops.projector.radon_fp` (two-pass semantics)."""
+    squeeze = vol.ndim == 2
+    if squeeze:
+        vol = vol[None]
+    vol = vol.astype(jnp.float32)
+    nz, ny, nx = vol.shape
+    det_x = geom.detectors_x_total
+    cor = geom.cor_horizontal
+    cos_v, sin_v, idx_x, idx_y = _partition(geom.angles)
+
+    out = jnp.zeros((nz, geom.n_angles, det_x), dtype=jnp.float32)
+    if idx_x.size:
+        prm = _driven_params(
+            cos_v[idx_x], sin_v[idx_x], cor[idx_x], det_x, ny, nx
+        )
+        out = out.at[:, idx_x, :].set(_fp_driven_pallas(vol, prm))
+    if idx_y.size:
+        prm = _driven_params(
+            sin_v[idx_y], cos_v[idx_y], cor[idx_y], det_x, nx, ny
+        )
+        out = out.at[:, idx_y, :].set(
+            _fp_driven_pallas(vol.swapaxes(1, 2), prm)
+        )
+    return out[0] if squeeze else out
+
+
+def radon_bp_pallas(sino: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
+    """Pallas back projector (exact adjoint of :func:`radon_fp_pallas`)."""
+    squeeze = sino.ndim == 2
+    if squeeze:
+        sino = sino[None]
+    sino = sino.astype(jnp.float32)
+    nz = sino.shape[0]
+    n = geom.recon_size
+    det_x = geom.detectors_x_total
+    cor = geom.cor_horizontal
+    cos_v, sin_v, idx_x, idx_y = _partition(geom.angles)
+
+    vol = jnp.zeros((nz, n, n), dtype=jnp.float32)
+    if idx_x.size:
+        prm = _driven_params(cos_v[idx_x], sin_v[idx_x], cor[idx_x], det_x, n, n)
+        vol = vol + _bp_driven_pallas(sino[:, idx_x, :], prm, n, n)
+    if idx_y.size:
+        prm = _driven_params(sin_v[idx_y], cos_v[idx_y], cor[idx_y], det_x, n, n)
+        vol = vol + _bp_driven_pallas(sino[:, idx_y, :], prm, n, n).swapaxes(
+            1, 2
+        )
+    return vol[0] if squeeze else vol
