@@ -202,3 +202,74 @@ class TestErrors:
                     "data_fidelity": "XX",
                 }
             )
+
+
+class TestRobustFidelities:
+    """Legacy RecToolsIR surface: SWLS stripe weighting + Huber/Student-t
+    (SURVEY.md §2.4; behavioural reference
+    Demos/methods_IR_legacy/DemoFISTA_artifacts2D.py:222-265)."""
+
+    def _striped_sino(self, problem):
+        sino = problem["sino"].copy()
+        sino[:, :, 20] += 3.0  # a stuck detector column -> ring artifact
+        return sino
+
+    def test_swls_suppresses_stripe(self, problem):
+        sino = self._striped_sino(problem)
+        rt = make_tools(problem, os_number=5)
+        ls = np.asarray(
+            rt.FISTA(
+                {"projection_data": jnp.asarray(sino)},
+                {"iterations": 10, "nonnegativity": True},
+            )
+        )
+        rt2 = make_tools(problem, os_number=5)
+        swls = np.asarray(
+            rt2.FISTA(
+                {
+                    "projection_data": jnp.asarray(sino),
+                    "data_fidelity": "SWLS",
+                    "beta_SWLS": 0.1,
+                },
+                {"iterations": 10, "nonnegativity": True},
+            )
+        )
+        # SWLS must reduce the error caused by the stripe
+        assert rel_rmse(swls, problem["phantom"]) < rel_rmse(
+            ls, problem["phantom"]
+        )
+
+    def test_huber_suppresses_zinger(self, problem):
+        sino = problem["sino"].copy()
+        sino[:, 13, 30] += 50.0  # zinger
+        rt = make_tools(problem, os_number=5)
+        ls = np.asarray(
+            rt.FISTA(
+                {"projection_data": jnp.asarray(sino)},
+                {"iterations": 10, "nonnegativity": True},
+            )
+        )
+        rt2 = make_tools(problem, os_number=5)
+        hub = np.asarray(
+            rt2.FISTA(
+                {
+                    "projection_data": jnp.asarray(sino),
+                    "huber_threshold": 1.0,
+                },
+                {"iterations": 10, "nonnegativity": True},
+            )
+        )
+        assert rel_rmse(hub, problem["phantom"]) < rel_rmse(
+            ls, problem["phantom"]
+        )
+
+    def test_studentst_runs(self, problem):
+        rt = make_tools(problem, os_number=5)
+        rec = rt.FISTA(
+            {
+                "projection_data": jnp.asarray(problem["sino"]),
+                "studentst_threshold": 2.0,
+            },
+            {"iterations": 5, "nonnegativity": True},
+        )
+        assert np.isfinite(np.asarray(rec)).all()

@@ -137,6 +137,16 @@ class RecToolsIRTPU:
             x0 = jnp.zeros(rec_dim, dtype=jnp.float32)
         return d, a, r, x0
 
+    @staticmethod
+    def _fid_kwargs(d: dict) -> dict:
+        """Robust-fidelity parameters from the data dict (legacy RecToolsIR
+        surface: beta_SWLS, huber_threshold, studentst_threshold)."""
+        return {
+            k: d[k]
+            for k in ("beta_SWLS", "huber_threshold", "studentst_threshold")
+            if d.get(k) is not None
+        }
+
     def _regul_fn(self, _regularisation_):
         if _regularisation_.get("method") is None:
             return None
@@ -203,6 +213,7 @@ class RecToolsIRTPU:
             fidelity=d["data_fidelity"],
             regul_fn=self._regul_fn(r),
             x0=x0,
+            fid_kwargs=self._fid_kwargs(d),
         )
         return self._finalise(x, a)
 
@@ -228,6 +239,7 @@ class RecToolsIRTPU:
             fidelity=d["data_fidelity"],
             regul_fn=self._regul_fn(r),
             x0=x0,
+            fid_kwargs=self._fid_kwargs(d),
         )
         return self._finalise(x, a)
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tomobar_tpu.fidelity import grad_data_term
+from tomobar_tpu.fidelity import grad_data_term, swls_weights
 from tomobar_tpu.ops.projector import Projector
 
 __all__ = [
@@ -202,6 +202,14 @@ def _prepare_pwls_weights(sino: jnp.ndarray) -> jnp.ndarray:
     return w / jnp.max(w)
 
 
+def _prepare_weights(sino, fidelity: str, fid_kwargs: dict):
+    if fidelity == "PWLS":
+        return _prepare_pwls_weights(sino)
+    if fidelity == "SWLS":
+        return swls_weights(sino, fid_kwargs.get("beta_SWLS", 0.1))
+    return None
+
+
 def fista(
     projector: Projector,
     sino: jnp.ndarray,
@@ -211,6 +219,7 @@ def fista(
     fidelity: str = "LS",
     regul_fn: Optional[Callable] = None,
     x0: Optional[jnp.ndarray] = None,
+    fid_kwargs: Optional[dict] = None,
 ) -> jnp.ndarray:
     """FISTA with optional ordered subsets and proximal regularisation
     (``methodsIR_CuPy.py:401-484``)."""
@@ -218,10 +227,11 @@ def fista(
     n = projector.geom.recon_size
     n_sub = len(projector.subset_indices)
     use_os = n_sub > 1
+    fid_kwargs = fid_kwargs or {}
 
     @jax.jit
     def run(b, x_init):
-        w = _prepare_pwls_weights(b) if fidelity == "PWLS" else None
+        w = _prepare_weights(b, fidelity, fid_kwargs)
         subs, w_subs = _subset_slices(projector, b, w)
         L_inv = jnp.float32(1.0 / lipschitz_const)
 
@@ -237,6 +247,8 @@ def fista(
                     sub_ind=s if use_os else None,
                     w=w_subs[s],
                     fidelity=fidelity,
+                    huber_threshold=fid_kwargs.get("huber_threshold"),
+                    studentst_threshold=fid_kwargs.get("studentst_threshold"),
                 )
                 x = x_t - L_inv * grad
                 if nonnegativity:
@@ -269,6 +281,7 @@ def admm(
     fidelity: str = "LS",
     regul_fn: Optional[Callable] = None,
     x0: Optional[jnp.ndarray] = None,
+    fid_kwargs: Optional[dict] = None,
 ) -> jnp.ndarray:
     """Linearised + relaxed ADMM with ordered subsets
     (``methodsIR_CuPy.py:486-585``).  Note: relaxation activates from outer
@@ -279,10 +292,11 @@ def admm(
     n_sub = len(projector.subset_indices)
     use_os = n_sub > 1
     tau = jnp.float32(0.9 / (lipschitz_const + rho_const))
+    fid_kwargs = fid_kwargs or {}
 
     @jax.jit
     def run(b, x_init):
-        w = _prepare_pwls_weights(b) if fidelity == "PWLS" else None
+        w = _prepare_weights(b, fidelity, fid_kwargs)
         subs, w_subs = _subset_slices(projector, b, w)
 
         def body(iter_no, carry):
@@ -295,6 +309,8 @@ def admm(
                     sub_ind=s if use_os else None,
                     w=w_subs[s],
                     fidelity=fidelity,
+                    huber_threshold=fid_kwargs.get("huber_threshold"),
+                    studentst_threshold=fid_kwargs.get("studentst_threshold"),
                 )
                 grad_admm = rho_const * (z - x + u)
                 z = z - tau * (grad + grad_admm)
