@@ -126,6 +126,14 @@ def normaliser(
             "mean, median or dynamic"
         )
     if method != "dynamic":
+        if axis == 0 and np.shape(data)[-np.ndim(flats):] == np.shape(flats):
+            # fused multicore C++ path (one pass, no temporaries); falls
+            # back to numpy when the native library is unavailable
+            from tomobar_tpu import native
+
+            fused = native.normalise_native(data, flats, darks, log)
+            if fused is not None:
+                return fused
         denom = flats - darks
         denom[np.where(denom <= 0.0)] = 1.0
         if axis == 1:
