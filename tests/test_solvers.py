@@ -273,3 +273,25 @@ class TestRobustFidelities:
             {"iterations": 5, "nonnegativity": True},
         )
         assert np.isfinite(np.asarray(rec)).all()
+
+
+class TestEarlyStopping:
+    def test_tolerance_stops_early(self, problem):
+        """tolerance>0 enables real early stopping (fixed reference quirk:
+        the parameter was accepted but ignored, dicts.py:153-155)."""
+        rt = make_tools(problem, os_number=5)
+        d = {"projection_data": jnp.asarray(problem["sino"])}
+        loose = rt.FISTA(d, {"iterations": 50, "tolerance": 0.2,
+                             "nonnegativity": True})
+        rt2 = make_tools(problem, os_number=5)
+        full = rt2.FISTA(d, {"iterations": 50, "nonnegativity": True})
+        # the early-stopped run must have converged less far
+        assert rel_rmse(loose, problem["phantom"]) > rel_rmse(
+            full, problem["phantom"]
+        )
+        # with tolerance=0 behaviour is identical to the reference default
+        rt3 = make_tools(problem, os_number=5)
+        default = rt3.FISTA(d, {"iterations": 50, "tolerance": 0.0,
+                                "nonnegativity": True})
+        np.testing.assert_allclose(np.asarray(default), np.asarray(full),
+                                   rtol=1e-6, atol=1e-7)

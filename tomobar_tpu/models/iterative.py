@@ -214,6 +214,7 @@ class RecToolsIRTPU:
             regul_fn=self._regul_fn(r),
             x0=x0,
             fid_kwargs=self._fid_kwargs(d),
+            tolerance=a.get("tolerance", 0.0),
         )
         return self._finalise(x, a)
 

@@ -220,9 +220,15 @@ def fista(
     regul_fn: Optional[Callable] = None,
     x0: Optional[jnp.ndarray] = None,
     fid_kwargs: Optional[dict] = None,
+    tolerance: float = 0.0,
 ) -> jnp.ndarray:
     """FISTA with optional ordered subsets and proximal regularisation
-    (``methodsIR_CuPy.py:401-484``)."""
+    (``methodsIR_CuPy.py:401-484``).
+
+    ``tolerance > 0`` enables real early stopping on the relative update
+    norm per outer iteration (the reference accepts the parameter but
+    never uses it, ``dicts.py:153-155`` — a consciously fixed quirk; the
+    default 0.0 preserves reference behaviour)."""
     nz = sino.shape[0]
     n = projector.geom.recon_size
     n_sub = len(projector.subset_indices)
@@ -235,7 +241,7 @@ def fista(
         subs, w_subs = _subset_slices(projector, b, w)
         L_inv = jnp.float32(1.0 / lipschitz_const)
 
-        def body(_, carry):
+        def sweep(carry):
             x, x_t, t = carry
             for s in range(n_sub):
                 x_old = x
@@ -259,10 +265,31 @@ def fista(
                 x_t = x + ((t_old - 1.0) / t) * (x - x_old)
             return (x, x_t, t)
 
-        x = x_init
-        x_t = x_init
-        t = jnp.float32(1.0)
-        x, _, _ = jax.lax.fori_loop(0, iterations, body, (x, x_t, t))
+        init = (x_init, x_init, jnp.float32(1.0))
+        if tolerance and tolerance > 0.0:
+            tol = jnp.float32(tolerance)
+
+            def cond(state):
+                it, rel, _ = state
+                return jnp.logical_and(it < iterations, rel >= tol)
+
+            def wbody(state):
+                it, _, carry = state
+                x_prev = carry[0]
+                carry = sweep(carry)
+                x_new = carry[0]
+                rel = jnp.linalg.norm(jnp.ravel(x_new - x_prev)) / jnp.maximum(
+                    jnp.linalg.norm(jnp.ravel(x_new)), 1e-12
+                )
+                return (it + 1, rel, carry)
+
+            _, _, (x, _, _) = jax.lax.while_loop(
+                cond, wbody, (jnp.int32(0), jnp.float32(jnp.inf), init)
+            )
+        else:
+            x, _, _ = jax.lax.fori_loop(
+                0, iterations, lambda _, c: sweep(c), init
+            )
         return x
 
     if x0 is None:
