@@ -143,7 +143,8 @@ def _shear_fp_kernel(beta_ref, vol_ref, s_ref, *, YB, U0, NXP, ny):
     def row_body(i, _):
         y = (yb * YB + i).astype(jnp.float32)
         row = vol_ref[i]  # (nz, NXP)
-        row_l = pltpu.roll(row, NXP - 1, 1)  # row[j+1]
+        # row_d precomputed once per row: g = row + f*row_d (one FMA/angle)
+        row_d = pltpu.roll(row, NXP - 1, 1) - row  # row[j+1] - row[j]
 
         def ang_body(ia, _):
             beta = beta_ref[ab * _AB + ia]
@@ -153,7 +154,7 @@ def _shear_fp_kernel(beta_ref, vol_ref, s_ref, *, YB, U0, NXP, ny):
             o = U0 - kf.astype(jnp.int32)
             o_hi = o // 128
             o_lo = o - o_hi * 128
-            g = (1.0 - f) * row + f * row_l
+            g = row + f * row_d
             g = pltpu.roll(g, o_lo, 1)
             off = pl.multiple_of(o_hi * 128, 128)
             s_ref[ia, :, pl.ds(off, NXP)] += g
@@ -263,7 +264,8 @@ def _unshear_bp_kernel(beta_ref, q_ref, vol_ref, *, YB, U0, NXP, ny):
             win = q_ref[ia, :, pl.ds(off, NXP)]  # (nz, NXP)
             wr = pltpu.roll(win, NXP - o1_lo - 1, 1)  # win[j+o1_lo+1]=q[o+j]
             wr_m1 = pltpu.roll(win, NXP - o1_lo, 1)  # q[o+j-1]
-            return acc + (1.0 - f) * wr + f * wr_m1
+            # (1-f)*wr + f*wr_m1 == wr + f*(wr_m1 - wr): one FMA + one sub
+            return acc + (wr + f * (wr_m1 - wr))
 
         acc = jax.lax.fori_loop(
             0, _AB, ang_body, jnp.zeros_like(vol_ref[i])

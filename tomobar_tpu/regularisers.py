@@ -139,7 +139,35 @@ def PD_TV(
     half_precision: bool = False,
 ) -> jnp.ndarray:
     """Primal-Dual (Chambolle-Pock) TV denoising, iso/aniso, optional
-    non-negativity, fused per-iteration update."""
+    non-negativity, fused per-iteration update.
+
+    On TPU, shapes with ``nx % 128 == 0`` dispatch to the fused Pallas
+    kernel (:mod:`tomobar_tpu.ops.pd_tv_pallas`, one kernel launch per
+    iteration — the structural equivalent of the reference's fused CUDA
+    kernel); the XLA elementwise chain is the fallback and the numerical
+    reference (both paths agree to float precision)."""
+    from tomobar_tpu.ops.pd_tv_pallas import pd_tv_pallas, pd_tv_pallas_supported
+    from tomobar_tpu.ops.projector_pallas import pallas_available
+
+    vol3 = data if data.ndim == 3 else data[None] if data.ndim == 2 else None
+    if (
+        vol3 is not None
+        and pallas_available()
+        and pd_tv_pallas_supported(vol3.shape)
+    ):
+        out = pd_tv_pallas(
+            jnp.asarray(vol3, dtype=jnp.float32),
+            regularisation_parameter,
+            iterations,
+            methodTV,
+            nonneg,
+            lipschitz_const,
+            half_precision,
+        )
+        # output shape matches the reference convention either way:
+        # 2D in -> (1, H, W) out (regularisersCuPy.py:164-167,293-296)
+        return out
+
     data, input_is_2d, ind_axis = _squeeze_2d(data)
     ndim = data.ndim
     dual_dtype = jnp.bfloat16 if half_precision else jnp.float32
