@@ -107,9 +107,12 @@ def _pd_tv_iter_kernel(
     p3c = p3n[1:]
     p2_ym = p2n[:-1]  # y-neighbour: ext rows shifted by one
 
-    lane_c = lane[1:]
-    zidx_c = zidx[1:]
-    row_c = row_g[1:]
+    # centre-range iotas built directly: slicing the ext-range iotas
+    # (lane-replicated layouts) trips a Mosaic extract_strided_slice
+    # layout bug when nx > 128
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (YB, nz, nx), 2)
+    zidx_c = jax.lax.broadcasted_iota(jnp.int32, (YB, nz, nx), 1)
+    row_c = yb * YB + jax.lax.broadcasted_iota(jnp.int32, (YB, nz, nx), 0)
 
     p1_xm = pltpu.roll(p1c, 1, 2)  # P1 at (x-1)
     div = p1c - jnp.where(lane_c == 0, 0.0, p1_xm)
