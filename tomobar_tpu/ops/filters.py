@@ -62,10 +62,33 @@ def filter_sino_sinc(sino: jnp.ndarray, cutoff: float = 0.35) -> jnp.ndarray:
     """
     n_angles = sino.shape[-2]
     det_x = sino.shape[-1]
-    filt = jnp.asarray(sinc_filter_half(det_x, cutoff, 1.0 / n_angles))
-    spec = jnp.fft.rfft(sino, axis=-1)
-    spec = spec * filt
-    return jnp.fft.irfft(spec, det_x, axis=-1).astype(sino.dtype)
+    half = sinc_filter_half(det_x, cutoff, 1.0 / n_angles)
+
+    from tomobar_tpu.ops.fft_real import (
+        apply_freq_filter_real,
+        use_native_complex_fft,
+    )
+
+    if use_native_complex_fft():
+        spec = jnp.fft.rfft(sino, axis=-1) * jnp.asarray(half)
+        return jnp.fft.irfft(spec, det_x, axis=-1).astype(sino.dtype)
+
+    # complex-free path: Hermitian-extend the real half filter and run the
+    # split-FFT filtering helper (TPU backends without complex64)
+    full = hermitian_extend_real(half, det_x)
+    squeeze = sino.ndim == 2
+    x = sino[None] if squeeze else sino
+    out = apply_freq_filter_real(x, jnp.asarray(full))
+    return (out[0] if squeeze else out).astype(sino.dtype)
+
+
+def hermitian_extend_real(half: np.ndarray, n: int) -> np.ndarray:
+    """Full-length (n,) spectrum of a REAL half filter (length n//2+1):
+    mirror the positive frequencies onto the negative half."""
+    full = np.empty(n, dtype=np.float32)
+    full[: n // 2 + 1] = half
+    full[n // 2 + 1 :] = half[1 : (n + 1) // 2][::-1]
+    return full
 
 
 def _wint(n: int, t: np.ndarray) -> np.ndarray:

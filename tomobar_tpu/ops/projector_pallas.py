@@ -160,7 +160,7 @@ def _shear_fp_kernel(beta_ref, vol_ref, s_ref, *, YB, U0, NXP, ny):
             s_ref[ia, :, pl.ds(off, NXP)] += g
             return 0
 
-        jax.lax.fori_loop(0, _AB, ang_body, 0)
+        jax.lax.fori_loop(0, _AB, ang_body, 0, unroll=_AB)
         return 0
 
     jax.lax.fori_loop(0, YB, row_body, 0)
@@ -172,28 +172,37 @@ def _shear_fp_kernel(beta_ref, vol_ref, s_ref, *, YB, U0, NXP, ny):
 # ---------------------------------------------------------------------------
 
 
-def _resample_fp_kernel(alpha_ref, gamma_ref, s_ref, p_ref, *, U0, LU, det_x):
+def _resample_fp_kernel(alpha_ref, gamma_ref, s_ref, p_ref, *, U0, LU, det_x, TP):
     a = pl.program_id(0)
-    tt = pl.program_id(1)
     alpha = alpha_ref[a]
     gamma = gamma_ref[a]
-    t0 = (tt * _TT).astype(jnp.float32)
-
-    # window start: cover [min pos, max pos] over the tile
-    pos_lo = U0 + gamma + jnp.minimum(alpha * t0, alpha * (t0 + _TT - 1))
-    u0 = jnp.floor(pos_lo).astype(jnp.int32) - 2
-    u0 = jnp.clip(u0, 0, LU - _TW)
-    u0 = (u0 // 128) * 128
-    u0 = pl.multiple_of(u0, 128)
-
-    win = s_ref[0, :, pl.ds(u0, _TW)]  # (nz, TW); block is pre-sliced to a
-    # banded interp matrix M[w, t] = |alpha| * hat(pos_t - (u0 + w))
+    # iotas hoisted out of the tile loop (shared by every tile)
     t_ids = jax.lax.broadcasted_iota(jnp.int32, (_TW, _TT), 1).astype(jnp.float32)
     w_ids = jax.lax.broadcasted_iota(jnp.int32, (_TW, _TT), 0).astype(jnp.float32)
-    pos = U0 + gamma + alpha * (t0 + t_ids)
-    m = jnp.maximum(0.0, 1.0 - jnp.abs(pos - (u0.astype(jnp.float32) + w_ids)))
-    m = m * jnp.abs(alpha)
-    p_ref[0] = jnp.dot(win, m, preferred_element_type=jnp.float32)
+    abs_alpha = jnp.abs(alpha)
+
+    def tile_body(tt, _):
+        t0 = (tt * _TT).astype(jnp.float32)
+        # window start: cover [min pos, max pos] over the tile
+        pos_lo = U0 + gamma + jnp.minimum(alpha * t0, alpha * (t0 + _TT - 1))
+        u0 = jnp.floor(pos_lo).astype(jnp.int32) - 2
+        u0 = jnp.clip(u0, 0, LU - _TW)
+        u0 = (u0 // 128) * 128
+        u0 = pl.multiple_of(u0, 128)
+
+        win = s_ref[0, :, pl.ds(u0, _TW)]  # (nz, TW); block pre-sliced to a
+        # banded interp matrix M[w, t] = |alpha| * hat(pos_t - (u0 + w))
+        pos = U0 + gamma + alpha * (t0 + t_ids)
+        m = jnp.maximum(
+            0.0, 1.0 - jnp.abs(pos - (u0.astype(jnp.float32) + w_ids))
+        )
+        m = m * abs_alpha
+        p_ref[0, :, pl.ds(tt * _TT, _TT)] = jnp.dot(
+            win, m, preferred_element_type=jnp.float32
+        )
+        return 0
+
+    jax.lax.fori_loop(0, TP // _TT, tile_body, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -202,30 +211,36 @@ def _resample_fp_kernel(alpha_ref, gamma_ref, s_ref, p_ref, *, U0, LU, det_x):
 # ---------------------------------------------------------------------------
 
 
-def _resample_bp_kernel(alpha_ref, gamma_ref, p_ref, q_ref, *, U0, TP, det_x):
+def _resample_bp_kernel(alpha_ref, gamma_ref, p_ref, q_ref, *, U0, TP, det_x, LU):
     a = pl.program_id(0)
-    ut = pl.program_id(1)
     alpha = alpha_ref[a]
     gamma = gamma_ref[a]
-    u0 = (ut * _UT).astype(jnp.float32)
-
-    # contributing t range: t = (u - U0 - gamma) / alpha over the tile
-    tc0 = (u0 - U0 - gamma) / alpha
-    tc1 = (u0 + _UT - 1 - U0 - gamma) / alpha
-    t_lo = jnp.floor(jnp.minimum(tc0, tc1)).astype(jnp.int32) - 2
-    t_lo = jnp.clip(t_lo, 0, TP - _PW)
-    t_lo = (t_lo // 128) * 128
-    t_lo = pl.multiple_of(t_lo, 128)
-
-    win = p_ref[0, :, pl.ds(t_lo, _PW)]  # (nz, PW); block is pre-sliced to a
     t_ids = jax.lax.broadcasted_iota(jnp.int32, (_PW, _UT), 0).astype(jnp.float32)
     u_ids = jax.lax.broadcasted_iota(jnp.int32, (_PW, _UT), 1).astype(jnp.float32)
-    pos = U0 + gamma + alpha * (t_lo.astype(jnp.float32) + t_ids)
-    m = jnp.maximum(0.0, 1.0 - jnp.abs(pos - (u0 + u_ids)))
-    # zero padded-detector region beyond det_x (p is padded to TP lanes)
-    valid = (t_lo.astype(jnp.float32) + t_ids) < det_x
-    m = jnp.where(valid, m, 0.0) * jnp.abs(alpha)
-    q_ref[0] = jnp.dot(win, m, preferred_element_type=jnp.float32)
+    abs_alpha = jnp.abs(alpha)
+
+    def tile_body(ut, _):
+        u0 = (ut * _UT).astype(jnp.float32)
+        # contributing t range: t = (u - U0 - gamma) / alpha over the tile
+        tc0 = (u0 - U0 - gamma) / alpha
+        tc1 = (u0 + _UT - 1 - U0 - gamma) / alpha
+        t_lo = jnp.floor(jnp.minimum(tc0, tc1)).astype(jnp.int32) - 2
+        t_lo = jnp.clip(t_lo, 0, TP - _PW)
+        t_lo = (t_lo // 128) * 128
+        t_lo = pl.multiple_of(t_lo, 128)
+
+        win = p_ref[0, :, pl.ds(t_lo, _PW)]  # (nz, PW); block pre-sliced to a
+        pos = U0 + gamma + alpha * (t_lo.astype(jnp.float32) + t_ids)
+        m = jnp.maximum(0.0, 1.0 - jnp.abs(pos - (u0 + u_ids)))
+        # zero padded-detector region beyond det_x (p is padded to TP lanes)
+        valid = (t_lo.astype(jnp.float32) + t_ids) < det_x
+        m = jnp.where(valid, m, 0.0) * abs_alpha
+        q_ref[0, :, pl.ds(ut * _UT, _UT)] = jnp.dot(
+            win, m, preferred_element_type=jnp.float32
+        )
+        return 0
+
+    jax.lax.fori_loop(0, LU // _UT, tile_body, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -248,7 +263,7 @@ def _unshear_bp_kernel(beta_ref, q_ref, vol_ref, *, YB, U0, NXP, ny):
     def row_body(i, _):
         y = (yb * YB + i).astype(jnp.float32)
 
-        def ang_body(ia, acc):
+        def ang_body(ia, _):
             beta = beta_ref[ab * _AB + ia]
             shift = beta * (y - cy)
             kf = jnp.floor(shift)
@@ -263,14 +278,13 @@ def _unshear_bp_kernel(beta_ref, q_ref, vol_ref, *, YB, U0, NXP, ny):
             off = pl.multiple_of(o1_hi * 128, 128)
             win = q_ref[ia, :, pl.ds(off, NXP)]  # (nz, NXP)
             wr = pltpu.roll(win, NXP - o1_lo - 1, 1)  # win[j+o1_lo+1]=q[o+j]
-            wr_m1 = pltpu.roll(win, NXP - o1_lo, 1)  # q[o+j-1]
+            wr_m1 = pltpu.roll(wr, 1, 1)  # q[o+j-1] (static roll: cyclic
+            # rolls compose mod NXP, so roll(wr,1) == roll(win, NXP-o1_lo))
             # (1-f)*wr + f*wr_m1 == wr + f*(wr_m1 - wr): one FMA + one sub
-            return acc + (wr + f * (wr_m1 - wr))
+            vol_ref[i] += wr + f * (wr_m1 - wr)
+            return 0
 
-        acc = jax.lax.fori_loop(
-            0, _AB, ang_body, jnp.zeros_like(vol_ref[i])
-        )
-        vol_ref[i] += acc
+        jax.lax.fori_loop(0, _AB, ang_body, 0, unroll=_AB)
         return 0
 
     jax.lax.fori_loop(0, YB, row_body, 0)
@@ -315,18 +329,20 @@ def _fp_driven_pallas(vol: jnp.ndarray, prm: _DrivenParams) -> jnp.ndarray:
     )(beta, vol_t)
 
     p = pl.pallas_call(
-        partial(_resample_fp_kernel, U0=prm.U0, LU=prm.LU, det_x=prm.det_x),
+        partial(
+            _resample_fp_kernel, U0=prm.U0, LU=prm.LU, det_x=prm.det_x, TP=TP
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(A_pad, TP // _TT),
+            grid=(A_pad,),
             in_specs=[
                 pl.BlockSpec(
-                    (1, nz, prm.LU), lambda a, tt, *_: (a, 0, 0),
+                    (1, nz, prm.LU), lambda a, *_: (a, 0, 0),
                     memory_space=pltpu.VMEM,
                 )
             ],
             out_specs=pl.BlockSpec(
-                (1, nz, _TT), lambda a, tt, *_: (a, 0, tt),
+                (1, nz, TP), lambda a, *_: (a, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
@@ -353,18 +369,20 @@ def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
     gamma = jnp.asarray(prm.gamma)
 
     q = pl.pallas_call(
-        partial(_resample_bp_kernel, U0=prm.U0, TP=TP, det_x=prm.det_x),
+        partial(
+            _resample_bp_kernel, U0=prm.U0, TP=TP, det_x=prm.det_x, LU=prm.LU
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(A_pad, prm.LU // _UT),
+            grid=(A_pad,),
             in_specs=[
                 pl.BlockSpec(
-                    (1, nz, TP), lambda a, ut, *_: (a, 0, 0),
+                    (1, nz, TP), lambda a, *_: (a, 0, 0),
                     memory_space=pltpu.VMEM,
                 )
             ],
             out_specs=pl.BlockSpec(
-                (1, nz, _UT), lambda a, ut, *_: (a, 0, ut),
+                (1, nz, prm.LU), lambda a, *_: (a, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),

@@ -3,16 +3,21 @@
 Re-implementation of the reference's ``FOURIER_INV``
 (``tomobar/methodsDIR_CuPy.py:152-989`` + ``cuda_kernels/fft_us_kernels.cu``,
 Nikitin's method adapted from TomoCuPy): FBP-filter the sinogram, pack two
-real z-slices into one complex array, 1-D FFT along detX, spread each polar
+real z-slices into one (re, im) pair, 1-D FFT along detX, spread each polar
 frequency sample onto a 2n x 2n Cartesian grid with a Gaussian kernel,
 2-D inverse FFT, then crop and multiply by the deconvolution factor phi.
 
 TPU-first notes:
 
-* All fftshifts are sign-flip multiplies (pure XLA), exactly like the
-  reference's ``r2c_c1dfftshift``/``c1dfftshift``/``c2dfftshift`` kernels.
+* **No complex dtype anywhere.**  The deployment TPU runtime has no
+  complex64 support at all, so the whole pipeline carries explicit
+  (re, im) float32 pairs and all FFTs go through
+  :mod:`tomobar_tpu.ops.fft_real` (split-complex Bailey four-step on the
+  MXU).  This replaces the reference's cuFFT plans and complex kernels.
+* All fftshifts are sign-flip multiplies, exactly like the reference's
+  ``r2c_c1dfftshift``/``c1dfftshift``/``c2dfftshift`` kernels.
 * The two-slices-per-complex packing is kept (halves the FFT count).
-* The frequency-domain spreading currently uses XLA scatter-add over the
+* The frequency-domain spreading uses two real XLA scatter-adds over the
   (2m+1)^2 kernel footprint (deterministic, no atomics).  A Pallas
   gather-formulated kernel with static angle-range pruning (the TPU
   equivalent of ``gather_kernel_center`` + ``angle_based_prune``) is the
@@ -31,13 +36,17 @@ the corners outside the measured frequency disc are not reconstructed
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tomobar_tpu.ops.fft_real import (
+    apply_freq_filter_real,
+    fft_pairs,
+    ifft2_pairs,
+)
 from tomobar_tpu.ops.filters import calc_filter
 from tomobar_tpu.utils.tools import check_kwargs, data_dims_swapper
 
@@ -57,8 +66,10 @@ def _fbp_filter_stage(
     """STEP0: filter rows on an oversampled grid, return width ``width``.
 
     Mirrors ``_fbp_filtering`` (``methodsDIR_CuPy.py:449-545``): edge-pad to
-    the oversampled width, multiply the rfft by ``calc_filter`` x the CoR
-    phase ramp, inverse rfft and crop the centred ``width`` window.
+    the oversampled width, multiply the spectrum by ``calc_filter`` x the
+    CoR phase ramp, inverse transform and crop the centred ``width`` window.
+    Complex-free: the Hermitian filter spectrum is built full-length on the
+    host and applied with the split-FFT pair-packing helper.
     """
     if power_of_2_oversampling:
         ow = 2 ** math.ceil(math.log2(raw_width * 3))
@@ -71,40 +82,47 @@ def _fbp_filter_stage(
     unpad_m = ow // 2 - width // 2
     unpad_p = ow // 2 + width // 2
 
-    wfilter = calc_filter(ow, filter_type, cutoff)
-    t = jnp.fft.rfftfreq(ow).astype(jnp.float32)
-    w = wfilter * jnp.exp(-2j * jnp.pi * t * rotation_axis)
+    half = np.asarray(calc_filter(ow, filter_type, cutoff))
+    t = np.fft.fftfreq(ow)
+    w_full = np.empty(ow, dtype=np.complex128)
+    w_full[: ow // 2 + 1] = half
+    w_full[ow // 2 + 1 :] = half[1 : (ow + 1) // 2][::-1]
+    w_full = w_full * np.exp(-2j * np.pi * t * rotation_axis)
+    # exact Hermitian symmetry: DC/Nyquist bins must be real (irfft drops
+    # their imaginary parts; the pair-packed helper requires it)
+    w_full[0] = w_full[0].real
+    w_full[ow // 2] = w_full[ow // 2].real
+    w_re = w_full.real.astype(np.float32)
+    w_im = w_full.imag.astype(np.float32)
 
     tmp = jnp.pad(
         data, ((0, 0), (0, 0), (pad_m, ow - raw_width - pad_m)), mode="edge"
     )
-    spec = jnp.fft.rfft(tmp, axis=-1) * w
-    tmp = jnp.fft.irfft(spec, ow, axis=-1)
+    tmp = apply_freq_filter_real(tmp, jnp.asarray(w_re), jnp.asarray(w_im))
     return tmp[:, :, unpad_m:unpad_p].astype(jnp.float32)
 
 
-def _pack_complex_pairs(filtered: jnp.ndarray) -> jnp.ndarray:
-    """Pack slice pairs (2z, 2z+1) -> complex, with the (-1)^x 1-D fftshift
+def _pack_pairs(filtered: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack slice pairs (2z, 2z+1) -> (re, im), with the (-1)^x 1-D fftshift
     sign folded in (``r2c_c1dfftshift``, ``fft_us_kernels.cu:529-557``)."""
     nz, nproj, n = filtered.shape
     sign = jnp.where(jnp.arange(n) % 2 == 1, 1.0, -1.0).astype(jnp.float32)
-    re = filtered[0::2] * sign
-    im = filtered[1::2] * sign
-    return re + 1j * im
+    return filtered[0::2] * sign, filtered[1::2] * sign
 
 
 def usfft_grid(
-    datac: jnp.ndarray,
+    data_re: jnp.ndarray,
+    data_im: jnp.ndarray,
     n: int,
     theta: np.ndarray,
     eps: float = 1e-4,
-) -> jnp.ndarray:
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """STEP1/2: centred 1-D FFT + Gaussian-kernel gridding onto (2n, 2n).
 
-    datac: (nz2, nproj, n) complex64 (already sign-packed).
-    Returns fde: (nz2, 2n, 2n) complex64.
+    data_re/im: (nz2, nproj, n) float32 (already sign-packed).
+    Returns fde (re, im): (nz2, 2n, 2n) float32.
     """
-    nz2, nproj, _ = datac.shape
+    nz2, nproj, _ = data_re.shape
     mu = -np.log(eps) / (2 * n * n)
     m = int(
         np.ceil(
@@ -113,9 +131,11 @@ def usfft_grid(
     )
 
     # STEP1: fft along detX, then the c1dfftshift sign x (4/n) scale
-    spec = jnp.fft.fft(datac, axis=-1)
+    sre, sim = fft_pairs(data_re, data_im)
     sign = jnp.where(jnp.arange(n) % 2 == 1, 1.0, -1.0).astype(jnp.float32)
-    spec = spec * (sign * (4.0 / n))
+    scale = sign * (4.0 / n)
+    sre = sre * scale
+    sim = sim * scale
 
     # polar sample coordinates (static, host-side)
     cos_t = np.cos(theta).astype(np.float32)
@@ -133,11 +153,13 @@ def usfft_grid(
     y0j = jnp.asarray(y0.reshape(-1))
     e0j = jnp.asarray(ell0_base.reshape(-1))
     e1j = jnp.asarray(ell1_base.reshape(-1))
-    g = spec.reshape(nz2, -1)  # (nz2, nproj*n)
+    g_re = sre.reshape(nz2, -1)  # (nz2, nproj*n)
+    g_im = sim.reshape(nz2, -1)
 
     two_n = 2 * n
 
-    def scatter_offset(fde, offs):
+    def scatter_offset(carry, offs):
+        fre, fim = carry
         i1, i0 = offs
         ell0 = e0j - m + i0
         ell1 = e1j - m + i1
@@ -146,21 +168,23 @@ def usfft_grid(
         w = coeff0 * jnp.exp(coeff1 * (w0 * w0 + w1 * w1))
         idx0 = jnp.mod(ell0 + n, two_n)
         idx1 = jnp.mod(ell1 + n, two_n)
-        vals = g * w[None, :].astype(jnp.complex64)
-        return fde.at[:, idx1, idx0].add(vals), None
+        fre = fre.at[:, idx1, idx0].add(g_re * w[None, :])
+        fim = fim.at[:, idx1, idx0].add(g_im * w[None, :])
+        return (fre, fim), None
 
     offsets = jnp.stack(
         jnp.meshgrid(jnp.arange(2 * m + 1), jnp.arange(2 * m + 1), indexing="ij"),
         axis=-1,
     ).reshape(-1, 2)
-    fde = jnp.zeros((nz2, two_n, two_n), dtype=jnp.complex64)
-    fde, _ = jax.lax.scan(scatter_offset, fde, offsets)
-    return fde
+    fre0 = jnp.zeros((nz2, two_n, two_n), dtype=jnp.float32)
+    fim0 = jnp.zeros((nz2, two_n, two_n), dtype=jnp.float32)
+    (fre, fim), _ = jax.lax.scan(scatter_offset, (fre0, fim0), offsets)
+    return fre, fim
 
 
 def _ifft2_centered(
-    fde: jnp.ndarray, n: int, half_pixel_shift: bool = True
-) -> jnp.ndarray:
+    fre: jnp.ndarray, fim: jnp.ndarray, n: int, half_pixel_shift: bool = True
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """STEP3: checkerboard-sign 2-D inverse FFT (``c2dfftshift`` pair).
 
     ``half_pixel_shift`` applies an exact Fourier-domain shift of
@@ -175,18 +199,27 @@ def _ifft2_centered(
     checker = jnp.where((i[:, None] + i[None, :]) % 2 == 1, -1.0, 1.0).astype(
         jnp.float32
     )
-    fde = fde * checker
+    fre = fre * checker
+    fim = fim * checker
     if half_pixel_shift:
         # stored index k <-> centred frequency (k - n); shifting the image
         # by s pixels multiplies F[k] by exp(-2i*pi*(k-n)*s/(2n)), s = -0.5
-        ramp = jnp.exp(2j * jnp.pi * (i - n) * 0.5 / two_n).astype(jnp.complex64)
-        fde = fde * (ramp[:, None] * ramp[None, :])
-    fde = jnp.fft.ifft2(fde, axes=(-2, -1))
-    return fde * checker
+        ang = 2.0 * np.pi * (np.arange(two_n) - n) * 0.5 / two_n
+        r1 = jnp.asarray(np.cos(ang), dtype=jnp.float32)
+        r2 = jnp.asarray(np.sin(ang), dtype=jnp.float32)
+        ramp_re = r1[:, None] * r1[None, :] - r2[:, None] * r2[None, :]
+        ramp_im = r1[:, None] * r2[None, :] + r2[:, None] * r1[None, :]
+        fre, fim = (
+            fre * ramp_re - fim * ramp_im,
+            fre * ramp_im + fim * ramp_re,
+        )
+    fre, fim = ifft2_pairs(fre, fim)
+    return fre * checker, fim * checker
 
 
 def _unpad_mul_phi(
-    fde: jnp.ndarray,
+    fre: jnp.ndarray,
+    fim: jnp.ndarray,
     n: int,
     nproj: int,
     nz: int,
@@ -195,7 +228,7 @@ def _unpad_mul_phi(
     recon_size: int,
     mu: float,
 ) -> jnp.ndarray:
-    """STEP4: crop to recon size, multiply by phi, unpack complex -> 2 real
+    """STEP4: crop to recon size, multiply by phi, unpack (re, im) -> 2 real
     slices (``unpadding_mul_phi``, ``fft_us_kernels.cu:611-657``)."""
     odd_recon = bool(recon_size % 2)
     unpad_z = nz - int(odd_vert)
@@ -203,16 +236,15 @@ def _unpad_mul_phi(
     p0 = (n - int(odd_horiz)) // 2 + (recon_size + odd_recon) // 2
     size = p0 - m0
 
-    sl = fde[:, n // 2 + m0 : n // 2 + p0, n // 2 + m0 : n // 2 + p0]
+    sl_re = fre[:, n // 2 + m0 : n // 2 + p0, n // 2 + m0 : n // 2 + p0]
+    sl_im = fim[:, n // 2 + m0 : n // 2 + p0, n // 2 + m0 : n // 2 + p0]
     r = np.arange(m0, p0, dtype=np.float32)
     d = -0.5 + r / n
     phi2d = np.exp(mu * n * n * (d[:, None] ** 2 + d[None, :] ** 2)) * (
         float(1 - n % 4) / nproj
     )
     phi = jnp.asarray(phi2d, dtype=jnp.float32)
-    re = jnp.real(sl) * phi
-    im = jnp.imag(sl) * phi
-    out = jnp.stack([re, im], axis=1).reshape(-1, size, size)
+    out = jnp.stack([sl_re * phi, sl_im * phi], axis=1).reshape(-1, size, size)
     return out[:unpad_z]
 
 
@@ -282,11 +314,11 @@ def fourier_inv(model, data, **kwargs) -> jnp.ndarray:
         kwargs.get("power_of_2_oversampling", True),
         kwargs.get("oversampling_level", 4),
     )
-    datac = _pack_complex_pairs(filtered)
-    fde = usfft_grid(datac, n, theta, eps)
-    fde = _ifft2_centered(fde, n)
+    dre, dim = _pack_pairs(filtered)
+    fre, fim = usfft_grid(dre, dim, n, theta, eps)
+    fre, fim = _ifft2_centered(fre, fim, n)
     recon = _unpad_mul_phi(
-        fde, n, nproj, nz, odd_horiz, odd_vert, recon_size, mu
+        fre, fim, n, nproj, nz, odd_horiz, odd_vert, recon_size, mu
     )
     return check_kwargs(
         recon, recon_mask_radius=kwargs.get("recon_mask_radius"), cupyrun=True
