@@ -1,18 +1,28 @@
 """Fused Pallas PD-TV (Chambolle-Pock) iteration for TPU.
 
 TPU equivalent of the reference's fully fused CUDA kernel
-``tomobar/cuda_kernels/primal_dual_for_total_variation.cu:126-301`` — one
+(``tomobar/cuda_kernels/primal_dual_for_total_variation.cu:126-301``) — one
 kernel launch per iteration computing the dual ascent + TV-ball projection
 + divergence + relaxed primal update, with the reference's
 "recompute neighbour duals" trick: the kernel evaluates projected duals on
 an extended row range (one halo row) instead of a second pass/sync.
 
+**Streaming design.**  The y-axis halos are carried in VMEM scratch across
+the (sequential) grid instead of re-fetching whole neighbour blocks from
+HBM: at grid step ``yb`` the kernel fetches only the CENTRE blocks of
+``u``/duals for block ``yb`` plus the data block for ``yb-1``, computes the
+full update for output block ``yb-1`` from scratch rows (previous block +
+two predecessor rows), then rotates the fetched blocks into scratch.  HBM
+traffic is 9 block-moves per voxel per iteration (5 in + 4 out) versus 14
+for the naive prev/centre/next BlockSpec formulation — the kernel is
+HBM-bound, so this is a direct ~1.5x.
+
 Layout: volumes are processed as ``(ny, nz, nx)`` — y is the blocked/grid
-axis (1-row halo via clamped neighbour blocks), z the sublane axis, x the
-lane axis.  Boundary semantics match :func:`tomobar_tpu.regularisers.PD_TV`
-exactly (forward differences reflect at the far edge, divergence uses
-zero boundaries at index 0), so the Pallas and XLA paths agree to float
-precision and tests can compare them directly.
+axis, z the sublane axis, x the lane axis.  Boundary semantics match
+:func:`tomobar_tpu.regularisers.PD_TV` exactly (forward differences
+reflect at the far edge, divergence uses zero boundaries at index 0), so
+the Pallas and XLA paths agree to float precision and tests can compare
+them directly.
 
 Supported when ``nx % 128 == 0`` and ``ny % YB == 0``; the caller falls
 back to the XLA path otherwise.
@@ -29,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pd_tv_pallas_supported", "pd_tv_pallas"]
 
-_YB = 4  # rows per block (VMEM-bound: ~14 blocks + temporaries live)
+_YB = 4  # rows per block (VMEM-bound: in/out windows double-buffered)
 
 
 def pd_tv_pallas_supported(shape) -> bool:
@@ -37,43 +47,37 @@ def pd_tv_pallas_supported(shape) -> bool:
     return nx % 128 == 0 and ny % _YB == 0 and ny >= 2 * _YB
 
 
-def _pd_tv_iter_kernel(
-    data_ref, uc_ref, un_ref, up_ref,
-    p1c_ref, p2c_ref, p3c_ref, p1p_ref, p2p_ref, p3p_ref,
+def _pd_tv_stream_kernel(
+    data_ref, uc_ref, p1c_ref, p2c_ref, p3c_ref,
     uo_ref, p1o_ref, p2o_ref, p3o_ref,
+    us_ref, p1s_ref, p2s_ref, p3s_ref,
     *, YB, ny, nz, nx, sigma, tau, lt, theta, method_tv, nonneg,
 ):
-    yb = pl.program_id(0)
+    yb = pl.program_id(0)  # 0..nb inclusive; output block is yb-1
 
-    # extended row range: global rows [y0-1, y0+YB)  (ext[0] is junk when
-    # yb == 0; every use of it is masked below)
-    u_c = uc_ref[...]
-    u_ext = jnp.concatenate([up_ref[YB - 1 : YB], u_c], axis=0)  # (YB+1,...)
-    # next rows for the ext range: global rows [y0, y0+YB]
-    u_ext_next = jnp.concatenate([u_c, un_ref[0:1]], axis=0)
-    # prev rows for the ext range (only used via the far-edge reflect mask,
-    # and the far edge global row ny-1 can only be ext index YB whose prev
-    # is ext[YB-1])
-    u_ext_prev = jnp.concatenate(
-        [u_ext[0:1], u_ext[: YB]], axis=0
-    )  # ext[i-1] with a junk row at i=0 (masked: row -1 never at far edge)
+    # ---------------- compute output block yb-1 from scratch ----------------
+    # scratch u rows: us[j] = u[(yb-1)*YB - 2 + j], j in [0, YB+2)
+    # scratch duals:  ps[i] = p[(yb-1)*YB - 1 + i], i in [0, YB+1)
+    # (garbage at yb == 0 / for negative global rows; every use is masked
+    # and the block written at yb == 0 is rewritten at yb == 1)
+    u_sc = us_ref[...]
+    u_ext = u_sc[1 : YB + 2]  # rows b0-1 .. b0+YB-1
+    u_ext_prev = u_sc[0 : YB + 1]  # rows b0-2 .. b0+YB-2
+    u_ext_next = jnp.concatenate(
+        [u_sc[2 : YB + 2], uc_ref[0:1]], axis=0
+    )  # rows b0 .. b0+YB (last row = first row of the next block)
 
-    # global row index of each ext row (full-shape iota: Mosaic mishandles
-    # size-1 minor dims)
-    row_g = yb * YB - 1 + jax.lax.broadcasted_iota(
+    row_g = (yb - 1) * YB - 1 + jax.lax.broadcasted_iota(
         jnp.int32, (YB + 1, nz, nx), 0
     )
-
-    # ---- forward differences on the ext range (reflect at far edges) ----
     lane = jax.lax.broadcasted_iota(jnp.int32, (YB + 1, nz, nx), 2)
     zidx = jax.lax.broadcasted_iota(jnp.int32, (YB + 1, nz, nx), 1)
 
+    # ---- forward differences on the ext range (reflect at far edges) ----
     u_xp = pltpu.roll(u_ext, nx - 1, 2)  # u[x+1] (wraps; fixed by mask)
     u_xm = pltpu.roll(u_ext, 1, 2)  # u[x-1]
     dx = jnp.where(lane == nx - 1, u_xm - u_ext, u_xp - u_ext)
-
     dy = jnp.where(row_g == ny - 1, u_ext_prev - u_ext, u_ext_next - u_ext)
-
     if nz > 1:
         u_zp = pltpu.roll(u_ext, nz - 1, 1)
         u_zm = pltpu.roll(u_ext, 1, 1)
@@ -82,12 +86,9 @@ def _pd_tv_iter_kernel(
         dz = jnp.zeros_like(u_ext)
 
     # ---- dual ascent + projection on the ext range ----
-    p1_ext = jnp.concatenate([p1p_ref[YB - 1 : YB], p1c_ref[...]], axis=0)
-    p2_ext = jnp.concatenate([p2p_ref[YB - 1 : YB], p2c_ref[...]], axis=0)
-    p3_ext = jnp.concatenate([p3p_ref[YB - 1 : YB], p3c_ref[...]], axis=0)
-    p1n = p1_ext.astype(jnp.float32) + sigma * dx
-    p2n = p2_ext.astype(jnp.float32) + sigma * dy
-    p3n = p3_ext.astype(jnp.float32) + sigma * dz
+    p1n = p1s_ref[...].astype(jnp.float32) + sigma * dx
+    p2n = p2s_ref[...].astype(jnp.float32) + sigma * dy
+    p3n = p3s_ref[...].astype(jnp.float32) + sigma * dz
     if method_tv == 0:  # isotropic joint projection
         denom = p1n * p1n + p2n * p2n + (p3n * p3n if nz > 1 else 0.0)
         scale = jnp.where(
@@ -112,7 +113,9 @@ def _pd_tv_iter_kernel(
     # layout bug when nx > 128
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (YB, nz, nx), 2)
     zidx_c = jax.lax.broadcasted_iota(jnp.int32, (YB, nz, nx), 1)
-    row_c = yb * YB + jax.lax.broadcasted_iota(jnp.int32, (YB, nz, nx), 0)
+    row_c = (yb - 1) * YB + jax.lax.broadcasted_iota(
+        jnp.int32, (YB, nz, nx), 0
+    )
 
     p1_xm = pltpu.roll(p1c, 1, 2)  # P1 at (x-1)
     div = p1c - jnp.where(lane_c == 0, 0.0, p1_xm)
@@ -122,12 +125,27 @@ def _pd_tv_iter_kernel(
         div = div + p3c - jnp.where(zidx_c == 0, 0.0, p3_zm)
 
     # ---- relaxed primal update (DivProj + over-relaxation) ----
+    u_c = u_sc[2 : YB + 2]  # rows b0 .. b0+YB-1
     uc = jnp.maximum(u_c, 0.0) if nonneg else u_c
     u_new = (uc + tau * div + lt * data_ref[...]) / (1.0 + lt)
     uo_ref[...] = u_new + theta * (u_new - uc)
     p1o_ref[...] = p1c.astype(p1o_ref.dtype)
     p2o_ref[...] = p2c.astype(p2o_ref.dtype)
     p3o_ref[...] = p3c.astype(p3o_ref.dtype)
+
+    # ---------------- rotate fetched centre blocks into scratch -------------
+    tail_u = u_sc[YB : YB + 2]  # rows yb*YB-2, yb*YB-1
+    us_ref[0:2] = tail_u
+    us_ref[2 : YB + 2] = uc_ref[...]
+    tail1 = p1s_ref[YB : YB + 1]
+    tail2 = p2s_ref[YB : YB + 1]
+    tail3 = p3s_ref[YB : YB + 1]
+    p1s_ref[0:1] = tail1
+    p2s_ref[0:1] = tail2
+    p3s_ref[0:1] = tail3
+    p1s_ref[1 : YB + 1] = p1c_ref[...]
+    p2s_ref[1 : YB + 1] = p2c_ref[...]
+    p3s_ref[1 : YB + 1] = p3c_ref[...]
 
 
 def pd_tv_pallas(
@@ -155,48 +173,54 @@ def pd_tv_pallas(
     nb = ny // _YB
 
     kernel = partial(
-        _pd_tv_iter_kernel,
+        _pd_tv_stream_kernel,
         YB=_YB, ny=ny, nz=nz, nx=nx,
         sigma=float(sigma), tau=float(tau),
         lt=float(lt), theta=float(theta),
         method_tv=int(methodTV), nonneg=bool(nonneg),
     )
 
-    def centre(i):
-        return pl.BlockSpec((_YB, nz, nx), lambda yb: (yb, 0, 0))
+    def prev_blk(yb):
+        return (jnp.maximum(yb - 1, 0), 0, 0)
 
-    def nxt():
-        return pl.BlockSpec(
-            (_YB, nz, nx), lambda yb: (jnp.minimum(yb + 1, nb - 1), 0, 0)
-        )
+    def cur_blk(yb):
+        return (jnp.minimum(yb, nb - 1), 0, 0)
 
-    def prv():
-        return pl.BlockSpec(
-            (_YB, nz, nx), lambda yb: (jnp.maximum(yb - 1, 0), 0, 0)
-        )
-
+    blk = (_YB, nz, nx)
     step = pl.pallas_call(
         kernel,
-        grid=(nb,),
+        grid=(nb + 1,),
         in_specs=[
-            centre(0),  # data
-            centre(1), nxt(), prv(),  # u views
-            centre(2), centre(3), centre(4),  # duals
-            prv(), prv(), prv(),  # dual prev views
+            pl.BlockSpec(blk, prev_blk),  # data (for output block yb-1)
+            pl.BlockSpec(blk, cur_blk),  # u centre
+            pl.BlockSpec(blk, cur_blk),  # p1 centre
+            pl.BlockSpec(blk, cur_blk),  # p2 centre
+            pl.BlockSpec(blk, cur_blk),  # p3 centre
         ],
-        out_specs=[centre(0), centre(0), centre(0), centre(0)],
+        out_specs=[
+            pl.BlockSpec(blk, prev_blk),
+            pl.BlockSpec(blk, prev_blk),
+            pl.BlockSpec(blk, prev_blk),
+            pl.BlockSpec(blk, prev_blk),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((ny, nz, nx), jnp.float32),
             jax.ShapeDtypeStruct((ny, nz, nx), dual_dtype),
             jax.ShapeDtypeStruct((ny, nz, nx), dual_dtype),
             jax.ShapeDtypeStruct((ny, nz, nx), dual_dtype),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((_YB + 2, nz, nx), jnp.float32),
+            pltpu.VMEM((_YB + 1, nz, nx), dual_dtype),
+            pltpu.VMEM((_YB + 1, nz, nx), dual_dtype),
+            pltpu.VMEM((_YB + 1, nz, nx), dual_dtype),
+        ],
         interpret=interpret,
     )
 
     def body(_, carry):
         u, p1, p2, p3 = carry
-        return tuple(step(data_t, u, u, u, p1, p2, p3, p1, p2, p3))
+        return tuple(step(data_t, u, p1, p2, p3))
 
     p0 = jnp.zeros((ny, nz, nx), dtype=dual_dtype)
     u, _, _, _ = jax.lax.fori_loop(

@@ -417,6 +417,30 @@ def _partition(angles: np.ndarray):
     return cos_v, sin_v, np.where(xdrive)[0], np.where(~xdrive)[0]
 
 
+# cap on the per-kernel z extent: the s/q blocks are (_AB, nz, LU) floats
+# and must stay well inside VMEM alongside the volume block and pipeline
+# double-buffers.  ~6 MB for the angle block keeps the whole working set
+# under half of VMEM at production LU sizes.
+_Z_BLOCK_BYTES = 6 * 1024 * 1024
+
+
+def _z_chunk(nz: int, lu: int) -> int:
+    cap = max(1, _Z_BLOCK_BYTES // (_AB * lu * 4))
+    return min(nz, cap)
+
+
+def _over_z(fn, arrs, nz: int, lu: int):
+    """Apply fn to z-chunks of the given arrays (axis 0) and concatenate.
+    Static Python loop: chunk count is a trace-time constant."""
+    zc = _z_chunk(nz, lu)
+    if zc >= nz:
+        return fn(*arrs)
+    outs = []
+    for z0 in range(0, nz, zc):
+        outs.append(fn(*(a[z0 : min(z0 + zc, nz)] for a in arrs)))
+    return jnp.concatenate(outs, axis=0)
+
+
 def radon_fp_pallas(vol: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
     """Pallas forward projector; drop-in for
     :func:`tomobar_tpu.ops.projector.radon_fp` (two-pass semantics)."""
@@ -434,14 +458,21 @@ def radon_fp_pallas(vol: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
         prm = _driven_params(
             cos_v[idx_x], sin_v[idx_x], cor[idx_x], det_x, ny, nx
         )
-        out = out.at[:, idx_x, :].set(_fp_driven_pallas(vol, prm))
+        px = _over_z(
+            lambda v: _fp_driven_pallas(v, prm), (vol,), nz, prm.LU
+        )
+        out = out.at[:, idx_x, :].set(px)
     if idx_y.size:
         prm = _driven_params(
             sin_v[idx_y], cos_v[idx_y], cor[idx_y], det_x, nx, ny
         )
-        out = out.at[:, idx_y, :].set(
-            _fp_driven_pallas(vol.swapaxes(1, 2), prm)
+        py = _over_z(
+            lambda v: _fp_driven_pallas(v, prm),
+            (vol.swapaxes(1, 2),),
+            nz,
+            prm.LU,
         )
+        out = out.at[:, idx_y, :].set(py)
     return out[0] if squeeze else out
 
 
@@ -460,10 +491,18 @@ def radon_bp_pallas(sino: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
     vol = jnp.zeros((nz, n, n), dtype=jnp.float32)
     if idx_x.size:
         prm = _driven_params(cos_v[idx_x], sin_v[idx_x], cor[idx_x], det_x, n, n)
-        vol = vol + _bp_driven_pallas(sino[:, idx_x, :], prm, n, n)
+        vol = vol + _over_z(
+            lambda s: _bp_driven_pallas(s, prm, n, n),
+            (sino[:, idx_x, :],),
+            nz,
+            prm.LU,
+        )
     if idx_y.size:
         prm = _driven_params(sin_v[idx_y], cos_v[idx_y], cor[idx_y], det_x, n, n)
-        vol = vol + _bp_driven_pallas(sino[:, idx_y, :], prm, n, n).swapaxes(
-            1, 2
-        )
+        vol = vol + _over_z(
+            lambda s: _bp_driven_pallas(s, prm, n, n),
+            (sino[:, idx_y, :],),
+            nz,
+            prm.LU,
+        ).swapaxes(1, 2)
     return vol[0] if squeeze else vol
