@@ -250,7 +250,12 @@ def _resample_bp_kernel(alpha_ref, gamma_ref, p_ref, q_ref, *, U0, TP, det_x, LU
 # ---------------------------------------------------------------------------
 
 
-def _unshear_bp_kernel(beta_ref, q_ref, vol_ref, *, YB, U0, NXP, ny):
+def _unshear_bp_kernel(beta_ref, q_ref, qd_ref, vol_ref, *, YB, U0, NXP, ny):
+    """One dynamic roll per (row, angle):
+    (1-f)*q[o+j] + f*q[o+j-1] == q[o+j] - f*d[o+j]  with d[u] = q[u]-q[u-1],
+    and since roll is linear with a scalar f, that's roll(win - f*dwin) —
+    ``d`` is precomputed once per angle in XLA (a second roll inside the
+    kernel costs as much as everything else combined)."""
     yb = pl.program_id(0)
     ab = pl.program_id(1)
 
@@ -263,28 +268,27 @@ def _unshear_bp_kernel(beta_ref, q_ref, vol_ref, *, YB, U0, NXP, ny):
     def row_body(i, _):
         y = (yb * YB + i).astype(jnp.float32)
 
-        def ang_body(ia, _):
+        def ang_body(ia, acc):
             beta = beta_ref[ab * _AB + ia]
             shift = beta * (y - cy)
             kf = jnp.floor(shift)
             f = shift - kf
             o = U0 - kf.astype(jnp.int32)
-            # window based on o-1 so both q[o+j] and q[o+j-1] are in range
-            # even when (o mod 128) == 0 (a roll on a window starting at o
-            # would wrap)
+            # window based on o-1 so the roll never wraps live data even
+            # when (o mod 128) == 0
             o1 = o - 1
             o1_hi = o1 // 128
             o1_lo = o1 - o1_hi * 128
             off = pl.multiple_of(o1_hi * 128, 128)
             win = q_ref[ia, :, pl.ds(off, NXP)]  # (nz, NXP)
-            wr = pltpu.roll(win, NXP - o1_lo - 1, 1)  # win[j+o1_lo+1]=q[o+j]
-            wr_m1 = pltpu.roll(wr, 1, 1)  # q[o+j-1] (static roll: cyclic
-            # rolls compose mod NXP, so roll(wr,1) == roll(win, NXP-o1_lo))
-            # (1-f)*wr + f*wr_m1 == wr + f*(wr_m1 - wr): one FMA + one sub
-            vol_ref[i] += wr + f * (wr_m1 - wr)
-            return 0
+            dwin = qd_ref[ia, :, pl.ds(off, NXP)]
+            g = win - f * dwin
+            return acc + pltpu.roll(g, NXP - o1_lo - 1, 1)  # g[j+o1_lo+1]
 
-        jax.lax.fori_loop(0, _AB, ang_body, 0, unroll=_AB)
+        acc = jax.lax.fori_loop(
+            0, _AB, ang_body, jnp.zeros_like(vol_ref[i]), unroll=_AB
+        )
+        vol_ref[i] += acc
         return 0
 
     jax.lax.fori_loop(0, YB, row_body, 0)
@@ -389,6 +393,11 @@ def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
         out_shape=jax.ShapeDtypeStruct((A_pad, nz, prm.LU), jnp.float32),
     )(alpha, gamma, p)
 
+    # backward-difference lines d[u] = q[u] - q[u-1], once per angle (the
+    # kernel then needs a single dynamic roll per (row, angle)).  The u = 0
+    # wrap is harmless: windows never start at 0 (U0 headroom).
+    qd = q - jnp.roll(q, 1, axis=2)
+
     vol_t = pl.pallas_call(
         partial(_unshear_bp_kernel, YB=YB, U0=prm.U0, NXP=prm.NXP, ny=ny),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -398,7 +407,11 @@ def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
                 pl.BlockSpec(
                     (_AB, nz, prm.LU), lambda yb, ab, *_: (ab, 0, 0),
                     memory_space=pltpu.VMEM,
-                )
+                ),
+                pl.BlockSpec(
+                    (_AB, nz, prm.LU), lambda yb, ab, *_: (ab, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
             ],
             out_specs=pl.BlockSpec(
                 (YB, nz, prm.NXP), lambda yb, ab, *_: (yb, 0, 0),
@@ -406,7 +419,7 @@ def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((ny, nz, prm.NXP), jnp.float32),
-    )(beta, q)
+    )(beta, q, qd)
 
     return jnp.swapaxes(vol_t[:, :, :nx], 0, 1)  # (nz, ny, nx)
 
@@ -495,7 +508,7 @@ def radon_bp_pallas(sino: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
             lambda s: _bp_driven_pallas(s, prm, n, n),
             (sino[:, idx_x, :],),
             nz,
-            prm.LU,
+            2 * prm.LU,  # q + qd angle blocks both live in VMEM
         )
     if idx_y.size:
         prm = _driven_params(sin_v[idx_y], cos_v[idx_y], cor[idx_y], det_x, n, n)
@@ -503,6 +516,6 @@ def radon_bp_pallas(sino: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
             lambda s: _bp_driven_pallas(s, prm, n, n),
             (sino[:, idx_y, :],),
             nz,
-            prm.LU,
+            2 * prm.LU,  # q + qd angle blocks both live in VMEM
         ).swapaxes(1, 2)
     return vol[0] if squeeze else vol
