@@ -7,7 +7,13 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from tomobar_tpu.ops.filters import FILTER_TYPES, calc_filter, sinc_filter_half
+from tomobar_tpu.ops.filters import (
+    CLASSIC_FILTER_TYPES,
+    FILTER_TYPES,
+    calc_filter,
+    classic_filter_half,
+    sinc_filter_half,
+)
 from tomobar_tpu import RecToolsDIRCuPy
 from tomobar_tpu.geometry import Geometry
 from tomobar_tpu.ops.projector import radon_fp
@@ -126,3 +132,61 @@ class TestFourierInv:
         )
         with pytest.raises(ValueError):
             rt.FOURIER_INV(fourier_problem["sino"])
+
+
+class TestClassicFilterBank:
+    """ASTRA-equivalent classic filter set on the host FBP path
+    (reference exposes these via FBP_CUDA config, astra_base.py:351-356)."""
+
+    @pytest.mark.parametrize("ftype", CLASSIC_FILTER_TYPES)
+    def test_filters_finite_ramp_bounded(self, ftype):
+        f = classic_filter_half(256, ftype)
+        assert f.shape == (129,)
+        assert np.isfinite(f).all()
+        # discrete (Ram-Lak kernel) ramp has a small positive DC term
+        assert 0.0 < f[0] < 0.1
+        # window never amplifies beyond the ramp (flat-top overshoots ~1e-3)
+        ramp = np.pi * np.arange(129) / 128.0
+        assert (np.abs(f) <= ramp + 1e-1).all()
+
+    def test_filter_d_cutoff(self):
+        f = classic_filter_half(256, "ram-lak", filter_d=0.5)
+        assert (f[65:] == 0).all() and f[64] > 0
+
+    def test_unknown_filter_raises(self):
+        with pytest.raises(ValueError):
+            classic_filter_half(64, "bogus")
+
+    @pytest.mark.parametrize(
+        "ftype,min_corr",
+        [("ram-lak", 0.9), ("shepp-logan", 0.9), ("hamming", 0.8)],
+    )
+    def test_fbp_classic_reconstructs_2d(
+        self, ftype, min_corr, phantom2d, sino2d, angles180
+    ):
+        from tomobar_tpu import RecToolsDIR
+
+        N = phantom2d.shape[0]
+        rt = RecToolsDIR(N, 0, None, 0.0, angles180, N)
+        rec = np.asarray(rt.FBP(sino2d, filter_type=ftype))
+        yy, xx = np.mgrid[0:N, 0:N]
+        m = np.hypot(yy - (N - 1) / 2, xx - (N - 1) / 2) < N / 2 - 2
+        corr = np.corrcoef(rec[m], phantom2d[m])[0, 1]
+        assert corr > min_corr, f"{ftype}: corr {corr}"
+        # amplitude is in the right ballpark vs the phantom itself (FBP at
+        # 180 angles is discretisation-bound; conventions differ from sinc)
+        scale = float((rec[m] * phantom2d[m]).sum() / (phantom2d[m] ** 2).sum())
+        assert 0.5 < scale < 2.2, f"{ftype}: LS scale {scale}"
+
+    def test_fbp_classic_3d_matches_2d_slices(self, phantom3d, sino3d, angles180):
+        from tomobar_tpu import RecToolsDIR
+
+        nz, N = phantom3d.shape[0], phantom3d.shape[1]
+        rt3 = RecToolsDIR(N, 0, nz, 0.0, angles180, N)
+        # canonical 3D FBP input order is (angles, detY, detX)
+        rec3 = np.asarray(
+            rt3.FBP(np.swapaxes(sino3d, 0, 1), filter_type="hann")
+        )
+        rt2 = RecToolsDIR(N, 0, None, 0.0, angles180, N)
+        rec2 = np.asarray(rt2.FBP(sino3d[0], filter_type="hann"))
+        np.testing.assert_allclose(rec3[0], rec2, rtol=1e-4, atol=1e-5)

@@ -18,7 +18,11 @@ import jax.numpy as jnp
 
 from tomobar_tpu.geometry import Geometry
 from tomobar_tpu.ops.projector import Projector
-from tomobar_tpu.ops.filters import filter_sino_sinc, sinc_filter_half
+from tomobar_tpu.ops.filters import (
+    filter_sino_classic,
+    filter_sino_sinc,
+    sinc_filter_half,
+)
 from tomobar_tpu.utils.tools import (
     apply_horiz_detector_padding,
     check_kwargs,
@@ -125,33 +129,50 @@ class RecToolsDIR:
         return self._maybe_np(self.Atools.bp(data))
 
     def FBP(self, data, **kwargs):
-        """Filtered back-projection with the custom sinc filter.
+        """Filtered back-projection with the custom sinc filter or a classic
+        filter bank.
 
         2D input: ["angles", "detX"].  3D input canonical order follows the
         reference device class: ["angles", "detY", "detX"]
         (``methodsDIR_CuPy.py:123``) for this method only.
+
+        ``filter_type`` selects a classic FBP filter (ram-lak, shepp-logan,
+        cosine, hamming, hann, tukey, gaussian, blackman, kaiser, ...) with
+        optional ``filter_parameter`` / ``filter_d`` — the equivalent of the
+        ASTRA-native filter configuration the reference exposes on its host
+        2D FBP path (``astra_base.py:351-356``).  When omitted, the custom
+        sinc filter is used (reference default).
         """
         data = self._fp_input(data)
         cutoff = kwargs.get("cutoff_freq", None)
+        filter_type = kwargs.get("filter_type", None)
+        filter_parameter = kwargs.get("filter_parameter", None)
+        filter_d = kwargs.get("filter_d", 1.0)
         order = kwargs.get("data_axes_labels_order")
+
+        def _filter(sino):
+            if filter_type is not None:
+                return filter_sino_classic(
+                    sino, filter_type, filter_parameter, filter_d
+                )
+            return filter_sino_sinc(sino, _cutoff)
+
         if data.ndim == 2:
             if order is not None:
                 data = data_dims_swapper(data, order, ["angles", "detX"])
-            if cutoff is None:
-                cutoff = 1.1  # host 2D path fixed a=1.1 (methodsDIR.py:297)
+            # host 2D path fixed a=1.1 (methodsDIR.py:297)
+            _cutoff = 1.1 if cutoff is None else cutoff
             data = apply_horiz_detector_padding(data, self.detectors_x_pad)
-            filtered = filter_sino_sinc(data, cutoff)
-            rec = self.Atools.bp(filtered)
+            rec = self.Atools.bp(_filter(data))
         else:
             if order is not None:
                 data = data_dims_swapper(data, order, ["angles", "detY", "detX"])
-            if cutoff is None:
-                cutoff = 0.35  # device default (methodsDIR_CuPy.py:133)
+            # device default (methodsDIR_CuPy.py:133)
+            _cutoff = 0.35 if cutoff is None else cutoff
             # to canonical (detY, angles, detX)
             data = jnp.swapaxes(data, 0, 1)
             data = apply_horiz_detector_padding(data, self.detectors_x_pad)
-            filtered = filter_sino_sinc(data, cutoff)
-            rec = self.Atools.bp(filtered)
+            rec = self.Atools.bp(_filter(data))
         rec = check_kwargs(
             rec, recon_mask_radius=kwargs.get("recon_mask_radius"), cupyrun=False
         )

@@ -22,7 +22,15 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["sinc_filter_half", "calc_filter", "filter_sino_sinc", "FILTER_TYPES"]
+__all__ = [
+    "sinc_filter_half",
+    "calc_filter",
+    "filter_sino_sinc",
+    "filter_sino_classic",
+    "classic_filter_half",
+    "FILTER_TYPES",
+    "CLASSIC_FILTER_TYPES",
+]
 
 FILTER_TYPES = (
     "none",
@@ -89,6 +97,146 @@ def hermitian_extend_real(half: np.ndarray, n: int) -> np.ndarray:
     full[: n // 2 + 1] = half
     full[n // 2 + 1 :] = half[1 : (n + 1) // 2][::-1]
     return full
+
+
+CLASSIC_FILTER_TYPES = (
+    "ram-lak",
+    "shepp-logan",
+    "cosine",
+    "hamming",
+    "hann",
+    "tukey",
+    "lanczos",
+    "triangular",
+    "gaussian",
+    "blackman",
+    "nuttall",
+    "blackman-harris",
+    "blackman-nuttall",
+    "flat-top",
+    "kaiser",
+    "parzen",
+    "none",
+)
+
+# cosine-sum window coefficients a_k, window(nu) = sum_k a_k cos(k*pi*nu)
+_COSINE_SUM = {
+    "blackman": (0.42, 0.5, 0.08),
+    "nuttall": (0.355768, 0.487396, 0.144232, 0.012604),
+    "blackman-harris": (0.35875, 0.48829, 0.14128, 0.01168),
+    "blackman-nuttall": (0.3635819, 0.4891775, 0.1365995, 0.0106411),
+    "flat-top": (0.21557895, 0.41663158, 0.277263158, 0.083578947, 0.006947368),
+}
+
+
+def classic_filter_half(
+    n: int,
+    filter_type: str = "ram-lak",
+    filter_parameter: float | None = None,
+    filter_d: float = 1.0,
+    multiplier: float = 1.0,
+) -> np.ndarray:
+    """Classic FBP filter bank on the rfft half-grid (length n//2+1).
+
+    TPU-native equivalent of the filter set the reference exposes through
+    ASTRA's ``FBP_CUDA`` configuration (``tomobar/astra_wrappers/
+    astra_base.py:351-356``: FilterType / FilterParameter / FilterD and the
+    documented names ram-lak, shepp-logan, cosine, hamming, hann, tukey,
+    gaussian, blackman, kaiser, ...).  The filter is ``ramp(nu) * window(nu)``
+    with ``nu = k/(n/2)`` the Nyquist-normalised frequency, ``ramp = pi*nu``
+    (the discrete |w| ramp, same amplitude convention as the sinc filter for
+    small w), cut off at ``nu > filter_d``.  ``multiplier`` folds the
+    1/n_angles back-projection scaling.
+    """
+    if filter_type not in CLASSIC_FILTER_TYPES:
+        raise ValueError(
+            f"Unknown filter '{filter_type}', choose one of {CLASSIC_FILTER_TYPES}"
+        )
+    nu = np.arange(n // 2 + 1) / max(n // 2, 1)
+    # Discrete ramp: DFT of the band-limited spatial Ram-Lak kernel
+    # h[0]=1/4, h[odd]=-1/(pi k)^2 (Kak & Slaney eq. 61).  This differs from
+    # the naive |omega| ramp at low frequencies (non-zero DC term) and avoids
+    # the classic FBP cupping/DC bias.  Scaled by 2*pi so the Nyquist value
+    # equals pi (the |omega_k| = 2*pi*k/n convention of the sinc filter).
+    h = np.zeros(n)
+    k = np.arange(1, n // 2 + 1)
+    h[0] = 0.25
+    h[k[::2]] = -1.0 / (np.pi * k[::2]) ** 2
+    h[-k[::2]] = -1.0 / (np.pi * k[::2]) ** 2
+    ramp = 2.0 * np.pi * np.real(np.fft.rfft(h))
+    if filter_type == "none":
+        win = np.ones_like(nu)
+    elif filter_type == "ram-lak":
+        win = np.ones_like(nu)
+    elif filter_type == "shepp-logan":
+        win = np.sinc(nu / 2.0)
+    elif filter_type == "cosine":
+        win = np.cos(np.pi * nu / 2.0)
+    elif filter_type == "hamming":
+        alpha = 0.54 if filter_parameter is None else float(filter_parameter)
+        win = alpha + (1.0 - alpha) * np.cos(np.pi * nu)
+    elif filter_type == "hann":
+        win = 0.5 * (1.0 + np.cos(np.pi * nu))
+    elif filter_type == "tukey":
+        alpha = 0.5 if filter_parameter is None else float(filter_parameter)
+        alpha = min(max(alpha, 1e-6), 1.0)
+        win = np.where(
+            nu <= 1.0 - alpha,
+            1.0,
+            0.5 * (1.0 + np.cos(np.pi * (nu - (1.0 - alpha)) / alpha)),
+        )
+    elif filter_type == "lanczos":
+        win = np.sinc(nu)
+    elif filter_type == "triangular":
+        win = 1.0 - nu
+    elif filter_type == "gaussian":
+        sigma = 0.4 if filter_parameter is None else float(filter_parameter)
+        win = np.exp(-(nu**2) / (2.0 * sigma**2))
+    elif filter_type == "kaiser":
+        beta = 3.0 if filter_parameter is None else float(filter_parameter)
+        win = np.i0(beta * np.sqrt(np.clip(1.0 - nu**2, 0.0, None))) / np.i0(beta)
+    elif filter_type == "parzen":
+        win = np.where(
+            nu <= 0.5,
+            1.0 - 6.0 * nu**2 * (1.0 - nu),
+            2.0 * (1.0 - np.clip(nu, None, 1.0)) ** 3,
+        )
+    else:
+        a = _COSINE_SUM[filter_type]
+        win = sum(
+            ((-1.0) ** 0) * ak * np.cos(k * np.pi * nu) for k, ak in enumerate(a)
+        )
+    half = ramp * win * (nu <= filter_d)
+    return (half * multiplier).astype(np.float32)
+
+
+def filter_sino_classic(
+    sino: jnp.ndarray,
+    filter_type: str = "ram-lak",
+    filter_parameter: float | None = None,
+    filter_d: float = 1.0,
+) -> jnp.ndarray:
+    """Apply a classic-bank FBP filter along the last (detX) axis, with the
+    1/n_angles scaling folded in (same convention as ``filter_sino_sinc``)."""
+    n_angles = sino.shape[-2]
+    det_x = sino.shape[-1]
+    half = classic_filter_half(
+        det_x, filter_type, filter_parameter, filter_d, 1.0 / n_angles
+    )
+
+    from tomobar_tpu.ops.fft_real import (
+        apply_freq_filter_real,
+        use_native_complex_fft,
+    )
+
+    if use_native_complex_fft():
+        spec = jnp.fft.rfft(sino, axis=-1) * jnp.asarray(half)
+        return jnp.fft.irfft(spec, det_x, axis=-1).astype(sino.dtype)
+    full = hermitian_extend_real(half, det_x)
+    squeeze = sino.ndim == 2
+    x = sino[None] if squeeze else sino
+    out = apply_freq_filter_real(x, jnp.asarray(full))
+    return (out[0] if squeeze else out).astype(sino.dtype)
 
 
 def _wint(n: int, t: np.ndarray) -> np.ndarray:
