@@ -215,6 +215,10 @@ def pd_tv_pallas(
             pltpu.VMEM((_YB + 1, nz, nx), dual_dtype),
             pltpu.VMEM((_YB + 1, nz, nx), dual_dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )
 
