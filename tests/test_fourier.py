@@ -158,11 +158,11 @@ class TestClassicFilterBank:
             classic_filter_half(64, "bogus")
 
     @pytest.mark.parametrize(
-        "ftype,min_corr",
-        [("ram-lak", 0.9), ("shepp-logan", 0.9), ("hamming", 0.8)],
+        "ftype,min_corr,scale_lo",
+        [("ram-lak", 0.9, 0.7), ("shepp-logan", 0.9, 0.7), ("hamming", 0.8, 0.55)],
     )
     def test_fbp_classic_reconstructs_2d(
-        self, ftype, min_corr, phantom2d, sino2d, angles180
+        self, ftype, min_corr, scale_lo, phantom2d, sino2d, angles180
     ):
         from tomobar_tpu import RecToolsDIR
 
@@ -173,10 +173,12 @@ class TestClassicFilterBank:
         m = np.hypot(yy - (N - 1) / 2, xx - (N - 1) / 2) < N / 2 - 2
         corr = np.corrcoef(rec[m], phantom2d[m])[0, 1]
         assert corr > min_corr, f"{ftype}: corr {corr}"
-        # amplitude is in the right ballpark vs the phantom itself (FBP at
-        # 180 angles is discretisation-bound; conventions differ from sinc)
+        # amplitude calibration: with the pi*rfft(h) discrete ramp the LS
+        # scale vs the phantom is ~0.97 for ram-lak/shepp (tight bound pins
+        # the convention); hamming's window attenuates the midband that
+        # carries much of the small phantom's energy (~0.68 at N=64)
         scale = float((rec[m] * phantom2d[m]).sum() / (phantom2d[m] ** 2).sum())
-        assert 0.5 < scale < 2.2, f"{ftype}: LS scale {scale}"
+        assert scale_lo < scale < 1.4, f"{ftype}: LS scale {scale}"
 
     def test_fbp_classic_3d_matches_2d_slices(self, phantom3d, sino3d, angles180):
         from tomobar_tpu import RecToolsDIR

@@ -295,3 +295,41 @@ class TestEarlyStopping:
                                 "nonnegativity": True})
         np.testing.assert_allclose(np.asarray(default), np.asarray(full),
                                    rtol=1e-6, atol=1e-7)
+
+
+class TestVerbose:
+    def test_fista_verbose_prints_progress(self, problem, capsys):
+        """verbose=True prints per-outer-iteration progress host-side (the
+        reference gates prints in ADMM, methodsIR_CuPy.py:568-576; here it
+        works for all OS solvers) and returns the same result as silent."""
+        rt = make_tools(problem, os_number=4)
+        d = {"projection_data": jnp.asarray(problem["sino"])}
+        quiet = rt.FISTA(d, {"iterations": 3, "verbose": False, "lipschitz_const": 5000.0})
+        loud = rt.FISTA(d, {"iterations": 3, "verbose": True, "lipschitz_const": 5000.0})
+        out = capsys.readouterr().out
+        assert out.count("FISTA iteration") == 3
+        np.testing.assert_allclose(
+            np.asarray(loud), np.asarray(quiet), rtol=1e-5, atol=1e-6
+        )
+
+    def test_admm_verbose_and_tolerance(self, problem, capsys):
+        rt = make_tools(problem, os_number=4)
+        d = {"projection_data": jnp.asarray(problem["sino"])}
+        rt.ADMM(d, {"iterations": 30, "verbose": True, "tolerance": 0.05,
+                    "lipschitz_const": 5000.0}, None)
+        out = capsys.readouterr().out
+        n_lines = out.count("ADMM iteration")
+        assert 1 <= n_lines < 30, out  # early stop actually triggered
+        assert "tolerance reached" in out
+
+    def test_admm_tolerance_stops_early_silent(self, problem):
+        """ADMM honours tolerance inside jit too (device while_loop)."""
+        rt = make_tools(problem, os_number=4)
+        d = {"projection_data": jnp.asarray(problem["sino"])}
+        a = rt.ADMM(d, {"iterations": 30, "tolerance": 0.05,
+                        "lipschitz_const": 5000.0}, None)
+        b = rt.ADMM(d, {"iterations": 30, "verbose": True, "tolerance": 0.05,
+                        "lipschitz_const": 5000.0}, None)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )

@@ -48,15 +48,12 @@ def os_subset_indices(n_angles: int, os_number: int) -> List[np.ndarray]:
     if os_number is None or os_number < 1:
         os_number = 1
     os_number = min(os_number, n_angles)
-    bins = int(np.ceil(n_angles / os_number))
-    subsets = []
-    for s in range(os_number):
-        ind = np.arange(s, n_angles, os_number, dtype=np.int64)
-        # reference drops the ragged tail when the last slot stayed 0
-        if ind.size < bins and s != 0:
-            pass  # already shrunk: arange produced the exact valid set
-        subsets.append(ind)
-    return subsets
+    # arange already produces the exact valid (shrunk-tail) set per subset,
+    # matching the reference's "drop ragged last bin" bookkeeping.
+    return [
+        np.arange(s, n_angles, os_number, dtype=np.int64)
+        for s in range(os_number)
+    ]
 
 
 @dataclass(frozen=True)

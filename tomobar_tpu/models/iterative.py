@@ -215,6 +215,7 @@ class RecToolsIRTPU:
             x0=x0,
             fid_kwargs=self._fid_kwargs(d),
             tolerance=a.get("tolerance", 0.0),
+            verbose=bool(a.get("verbose", False)),
         )
         return self._finalise(x, a)
 
@@ -241,6 +242,8 @@ class RecToolsIRTPU:
             regul_fn=self._regul_fn(r),
             x0=x0,
             fid_kwargs=self._fid_kwargs(d),
+            tolerance=a.get("tolerance", 0.0),
+            verbose=bool(a.get("verbose", False)),
         )
         return self._finalise(x, a)
 

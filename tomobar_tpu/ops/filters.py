@@ -143,10 +143,11 @@ def classic_filter_half(
     astra_base.py:351-356``: FilterType / FilterParameter / FilterD and the
     documented names ram-lak, shepp-logan, cosine, hamming, hann, tukey,
     gaussian, blackman, kaiser, ...).  The filter is ``ramp(nu) * window(nu)``
-    with ``nu = k/(n/2)`` the Nyquist-normalised frequency, ``ramp = pi*nu``
-    (the discrete |w| ramp, same amplitude convention as the sinc filter for
-    small w), cut off at ``nu > filter_d``.  ``multiplier`` folds the
-    1/n_angles back-projection scaling.
+    with ``nu = k/(n/2)`` the Nyquist-normalised frequency and
+    ``ramp = pi * rfft(h)`` the discrete Ram-Lak ramp (``~ pi*nu/2``,
+    reaching pi/2 at Nyquist — the calibrated discrete-FBP amplitude), cut
+    off at ``nu > filter_d``.  ``multiplier`` folds the 1/n_angles
+    back-projection scaling.
     """
     if filter_type not in CLASSIC_FILTER_TYPES:
         raise ValueError(
@@ -156,14 +157,18 @@ def classic_filter_half(
     # Discrete ramp: DFT of the band-limited spatial Ram-Lak kernel
     # h[0]=1/4, h[odd]=-1/(pi k)^2 (Kak & Slaney eq. 61).  This differs from
     # the naive |omega| ramp at low frequencies (non-zero DC term) and avoids
-    # the classic FBP cupping/DC bias.  Scaled by 2*pi so the Nyquist value
-    # equals pi (the |omega_k| = 2*pi*k/n convention of the sinc filter).
+    # the classic FBP cupping/DC bias.  Scaled by pi: the discrete FBP
+    # inversion is (pi/n_angles) * ifft(|nu| * fft(sino)) with |nu| in
+    # [0, 1], and rfft(h) ~= |nu|/2... more precisely rfft(h)[Nyquist] = 1/2,
+    # so pi * rfft(h) reaches pi/2 at Nyquist — the calibrated amplitude
+    # (measured LS scale ~0.97 vs phantom, consistent with the sinc path
+    # and ASTRA's FBP_CUDA).
     h = np.zeros(n)
     k = np.arange(1, n // 2 + 1)
     h[0] = 0.25
     h[k[::2]] = -1.0 / (np.pi * k[::2]) ** 2
     h[-k[::2]] = -1.0 / (np.pi * k[::2]) ** 2
-    ramp = 2.0 * np.pi * np.real(np.fft.rfft(h))
+    ramp = np.pi * np.real(np.fft.rfft(h))
     if filter_type == "none":
         win = np.ones_like(nu)
     elif filter_type == "ram-lak":
@@ -202,10 +207,11 @@ def classic_filter_half(
             2.0 * (1.0 - np.clip(nu, None, 1.0)) ** 3,
         )
     else:
+        # centered cosine-sum form: cos(2*pi*k*n/N) -> (-1)^k cos(k*pi*nu)
+        # after centring, and the (-1)^k cancels the alternating signs of the
+        # published a_k, leaving the all-positive sum below.
         a = _COSINE_SUM[filter_type]
-        win = sum(
-            ((-1.0) ** 0) * ak * np.cos(k * np.pi * nu) for k, ak in enumerate(a)
-        )
+        win = sum(ak * np.cos(k * np.pi * nu) for k, ak in enumerate(a))
     half = ramp * win * (nu <= filter_d)
     return (half * multiplier).astype(np.float32)
 

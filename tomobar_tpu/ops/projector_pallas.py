@@ -425,9 +425,10 @@ def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
 
 
 def _partition(angles: np.ndarray):
-    cos_v, sin_v = np.cos(angles), np.sin(angles)
-    xdrive = np.abs(cos_v) >= np.abs(sin_v)
-    return cos_v, sin_v, np.where(xdrive)[0], np.where(~xdrive)[0]
+    from tomobar_tpu.ops.projector import _angle_partition
+
+    idx_x, idx_y = _angle_partition(angles)
+    return np.cos(angles), np.sin(angles), idx_x, idx_y
 
 
 # cap on the per-kernel z extent: the s/q blocks are (_AB, nz, LU) floats

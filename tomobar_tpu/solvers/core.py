@@ -221,6 +221,7 @@ def fista(
     x0: Optional[jnp.ndarray] = None,
     fid_kwargs: Optional[dict] = None,
     tolerance: float = 0.0,
+    verbose: bool = False,
 ) -> jnp.ndarray:
     """FISTA with optional ordered subsets and proximal regularisation
     (``methodsIR_CuPy.py:401-484``).
@@ -228,42 +229,55 @@ def fista(
     ``tolerance > 0`` enables real early stopping on the relative update
     norm per outer iteration (the reference accepts the parameter but
     never uses it, ``dicts.py:153-155`` — a consciously fixed quirk; the
-    default 0.0 preserves reference behaviour)."""
+    default 0.0 preserves reference behaviour).  ``verbose`` prints the
+    per-outer-iteration relative update norm host-side (the TPU equivalent
+    of the reference's gated progress prints, ``methodsIR_CuPy.py:568-576``;
+    the loop then runs one jitted sweep per outer iteration because the TPU
+    deployment runtime has no host-callback support for in-jit printing)."""
     nz = sino.shape[0]
     n = projector.geom.recon_size
     n_sub = len(projector.subset_indices)
     use_os = n_sub > 1
     fid_kwargs = fid_kwargs or {}
+    L_inv = jnp.float32(1.0 / lipschitz_const)
+
+    def sweep(carry, subs, w_subs):
+        x, x_t, t = carry
+        for s in range(n_sub):
+            x_old = x
+            t_old = t
+            grad = grad_data_term(
+                projector,
+                x_t,
+                subs[s],
+                sub_ind=s if use_os else None,
+                w=w_subs[s],
+                fidelity=fidelity,
+                huber_threshold=fid_kwargs.get("huber_threshold"),
+                studentst_threshold=fid_kwargs.get("studentst_threshold"),
+            )
+            x = x_t - L_inv * grad
+            if nonnegativity:
+                x = jnp.maximum(x, 0.0)
+            if regul_fn is not None:
+                x = regul_fn(x)
+            t = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) * 0.5
+            x_t = x + ((t_old - 1.0) / t) * (x - x_old)
+        return (x, x_t, t)
+
+    if x0 is None:
+        x0 = jnp.zeros((nz, n, n), dtype=jnp.float32)
+
+    if verbose:
+        return _host_outer_loop(
+            "FISTA", sweep, (x0, x0, jnp.float32(1.0)), projector, sino,
+            fidelity, fid_kwargs, iterations, tolerance,
+        )
 
     @jax.jit
     def run(b, x_init):
         w = _prepare_weights(b, fidelity, fid_kwargs)
         subs, w_subs = _subset_slices(projector, b, w)
-        L_inv = jnp.float32(1.0 / lipschitz_const)
-
-        def sweep(carry):
-            x, x_t, t = carry
-            for s in range(n_sub):
-                x_old = x
-                t_old = t
-                grad = grad_data_term(
-                    projector,
-                    x_t,
-                    subs[s],
-                    sub_ind=s if use_os else None,
-                    w=w_subs[s],
-                    fidelity=fidelity,
-                    huber_threshold=fid_kwargs.get("huber_threshold"),
-                    studentst_threshold=fid_kwargs.get("studentst_threshold"),
-                )
-                x = x_t - L_inv * grad
-                if nonnegativity:
-                    x = jnp.maximum(x, 0.0)
-                if regul_fn is not None:
-                    x = regul_fn(x)
-                t = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) * 0.5
-                x_t = x + ((t_old - 1.0) / t) * (x - x_old)
-            return (x, x_t, t)
 
         init = (x_init, x_init, jnp.float32(1.0))
         if tolerance and tolerance > 0.0:
@@ -276,7 +290,7 @@ def fista(
             def wbody(state):
                 it, _, carry = state
                 x_prev = carry[0]
-                carry = sweep(carry)
+                carry = sweep(carry, subs, w_subs)
                 x_new = carry[0]
                 rel = jnp.linalg.norm(jnp.ravel(x_new - x_prev)) / jnp.maximum(
                     jnp.linalg.norm(jnp.ravel(x_new)), 1e-12
@@ -288,13 +302,48 @@ def fista(
             )
         else:
             x, _, _ = jax.lax.fori_loop(
-                0, iterations, lambda _, c: sweep(c), init
+                0, iterations, lambda _, c: sweep(c, subs, w_subs), init
             )
         return x
 
-    if x0 is None:
-        x0 = jnp.zeros((nz, n, n), dtype=jnp.float32)
     return run(sino, x0)
+
+
+def _host_outer_loop(
+    name, sweep, init, projector, sino, fidelity, fid_kwargs, iterations,
+    tolerance, body_takes_iter=False,
+):
+    """Host-driven outer loop for ``verbose`` solvers: one jitted sweep per
+    outer iteration, progress printed from the host.
+
+    The TPU deployment runtime rejects host callbacks (``jax.debug.print``),
+    so in-jit printing is impossible; the per-iteration dispatch overhead is
+    the price of progress reporting and only paid when verbose is on."""
+    w = _prepare_weights(sino, fidelity, fid_kwargs)
+    subs, w_subs = _subset_slices(projector, sino, w)
+
+    @jax.jit
+    def step(it, carry, subs, w_subs):
+        x_prev = carry[0]
+        carry = (
+            sweep(it, carry, subs, w_subs)
+            if body_takes_iter
+            else sweep(carry, subs, w_subs)
+        )
+        rel = jnp.linalg.norm(jnp.ravel(carry[0] - x_prev)) / jnp.maximum(
+            jnp.linalg.norm(jnp.ravel(carry[0])), 1e-12
+        )
+        return carry, rel
+
+    carry = init
+    for it in range(iterations):
+        carry, rel = step(jnp.int32(it), carry, subs, w_subs)
+        rel = float(rel)
+        print(f"{name} iteration ({it + 1}) relative update: {rel:.3e}")
+        if tolerance and tolerance > 0.0 and rel < tolerance:
+            print(f"{name} stopped at iteration ({it + 1}): tolerance reached")
+            break
+    return carry[0]
 
 
 def admm(
@@ -309,11 +358,19 @@ def admm(
     regul_fn: Optional[Callable] = None,
     x0: Optional[jnp.ndarray] = None,
     fid_kwargs: Optional[dict] = None,
+    tolerance: float = 0.0,
+    verbose: bool = False,
 ) -> jnp.ndarray:
     """Linearised + relaxed ADMM with ordered subsets
     (``methodsIR_CuPy.py:486-585``).  Note: relaxation activates from outer
     iteration index > 1, and the dual update runs once per OUTER iteration —
-    both preserved for parity."""
+    both preserved for parity.
+
+    ``verbose`` prints per-outer-iteration progress host-side (the
+    reference's gated prints, ``methodsIR_CuPy.py:568-576``);
+    ``tolerance > 0`` adds real early stopping on the relative x-update norm
+    (the reference accepts the parameter but ignores it — consciously fixed,
+    default 0.0 = parity)."""
     nz = sino.shape[0]
     n = projector.geom.recon_size
     n_sub = len(projector.subset_indices)
@@ -321,47 +378,73 @@ def admm(
     tau = jnp.float32(0.9 / (lipschitz_const + rho_const))
     fid_kwargs = fid_kwargs or {}
 
-    @jax.jit
-    def run(b, x_init):
-        w = _prepare_weights(b, fidelity, fid_kwargs)
-        subs, w_subs = _subset_slices(projector, b, w)
-
-        def body(iter_no, carry):
-            x, z, z_old, u = carry
-            for s in range(n_sub):
-                grad = grad_data_term(
-                    projector,
-                    z,
-                    subs[s],
-                    sub_ind=s if use_os else None,
-                    w=w_subs[s],
-                    fidelity=fidelity,
-                    huber_threshold=fid_kwargs.get("huber_threshold"),
-                    studentst_threshold=fid_kwargs.get("studentst_threshold"),
-                )
-                grad_admm = rho_const * (z - x + u)
-                z = z - tau * (grad + grad_admm)
-                if nonnegativity:
-                    z = jnp.maximum(z, 0.0)
-                z = jnp.where(
-                    iter_no > 1, (1.0 - relax_par) * z_old + relax_par * z, z
-                )
-                z_old = z
-                x_prox = z + u
-                x = regul_fn(x_prox) if regul_fn is not None else x_prox
-            u = u + (z - x)
-            return (x, z, z_old, u)
-
-        x = x_init
-        z = x_init
-        z_old = jnp.zeros_like(x_init)
-        u = jnp.zeros_like(x_init)
-        x, _, _, _ = jax.lax.fori_loop(0, iterations, body, (x, z, z_old, u))
-        return x
+    def body(iter_no, carry, subs, w_subs):
+        x, z, z_old, u = carry
+        for s in range(n_sub):
+            grad = grad_data_term(
+                projector,
+                z,
+                subs[s],
+                sub_ind=s if use_os else None,
+                w=w_subs[s],
+                fidelity=fidelity,
+                huber_threshold=fid_kwargs.get("huber_threshold"),
+                studentst_threshold=fid_kwargs.get("studentst_threshold"),
+            )
+            grad_admm = rho_const * (z - x + u)
+            z = z - tau * (grad + grad_admm)
+            if nonnegativity:
+                z = jnp.maximum(z, 0.0)
+            z = jnp.where(
+                iter_no > 1, (1.0 - relax_par) * z_old + relax_par * z, z
+            )
+            z_old = z
+            x_prox = z + u
+            x = regul_fn(x_prox) if regul_fn is not None else x_prox
+        u = u + (z - x)
+        return (x, z, z_old, u)
 
     if x0 is None:
         x0 = jnp.zeros((nz, n, n), dtype=jnp.float32)
-    return run(sino, x0)
+    init = (x0, x0, jnp.zeros_like(x0), jnp.zeros_like(x0))
+
+    if verbose:
+        return _host_outer_loop(
+            "ADMM", body, init, projector, sino, fidelity, fid_kwargs,
+            iterations, tolerance, body_takes_iter=True,
+        )
+
+    @jax.jit
+    def run(b, carry0):
+        w = _prepare_weights(b, fidelity, fid_kwargs)
+        subs, w_subs = _subset_slices(projector, b, w)
+
+        if tolerance and tolerance > 0.0:
+            tol = jnp.float32(tolerance)
+
+            def cond(state):
+                it, rel, _ = state
+                return jnp.logical_and(it < iterations, rel >= tol)
+
+            def wbody(state):
+                it, _, carry = state
+                x_prev = carry[0]
+                carry = body(it, carry, subs, w_subs)
+                rel = jnp.linalg.norm(
+                    jnp.ravel(carry[0] - x_prev)
+                ) / jnp.maximum(jnp.linalg.norm(jnp.ravel(carry[0])), 1e-12)
+                return (it + 1, rel, carry)
+
+            _, _, (x, _, _, _) = jax.lax.while_loop(
+                cond, wbody, (jnp.int32(0), jnp.float32(jnp.inf), carry0)
+            )
+        else:
+            x, _, _, _ = jax.lax.fori_loop(
+                0, iterations, lambda i, c: body(i, c, subs, w_subs), carry0
+            )
+        return x
+
+    return run(sino, init)
 
 
 def osem(
