@@ -72,6 +72,16 @@ def phantom3d():
 
 
 @pytest.fixture(scope="session")
+def phantom3d_small():
+    """2-slice variant for interpret-mode Pallas kernel tests."""
+    import jax.numpy as jnp
+
+    sl = shepp_logan_slice(64)
+    scale = np.asarray([0.9, 1.1], dtype=np.float32)
+    return jnp.asarray(sl[None, :, :] * scale[:, None, None])
+
+
+@pytest.fixture(scope="session")
 def angles180():
     return np.linspace(0, np.pi, 90, endpoint=False)
 

@@ -134,6 +134,54 @@ class TestFourierInv:
             rt.FOURIER_INV(fourier_problem["sino"])
 
 
+class TestUsfftGridPallas:
+    """Banded-matmul Pallas gridding vs the XLA scatter oracle (exact tap
+    sets, so agreement is float-rounding-level).  Interpret mode on CPU;
+    the reference's analogous differential test is prune-vs-naive
+    (test_RecToolsDIRCuPy.py:35-223)."""
+
+    @pytest.mark.parametrize(
+        "thetas",
+        [
+            -np.linspace(0, np.pi, 61, endpoint=False),  # incl. 0, ~pi/2
+            np.linspace(-0.3, 2.8, 47),  # arbitrary range, both drivens
+            np.array([0.0, np.pi / 2, np.pi / 4, -np.pi / 2]),  # axis cases
+        ],
+    )
+    def test_matches_scatter_oracle(self, thetas):
+        from tomobar_tpu.ops import usfft_pallas
+        from tomobar_tpu.ops.usfft import usfft_grid
+
+        n = 128
+        rng = np.random.default_rng(5)
+        dre = jnp.asarray(
+            rng.standard_normal((2, thetas.size, n)), dtype=jnp.float32
+        )
+        dim = jnp.asarray(
+            rng.standard_normal((2, thetas.size, n)), dtype=jnp.float32
+        )
+        a_re, a_im = usfft_grid(dre, dim, n, thetas)
+        usfft_pallas._INTERPRET[0] = True
+        try:
+            b_re, b_im = usfft_pallas.usfft_grid_pallas(dre, dim, n, thetas)
+        finally:
+            usfft_pallas._INTERPRET[0] = False
+        ref = np.abs(np.asarray(a_re)).max()
+        np.testing.assert_allclose(
+            np.asarray(b_re), np.asarray(a_re), rtol=1e-4, atol=1e-5 * ref
+        )
+        np.testing.assert_allclose(
+            np.asarray(b_im), np.asarray(a_im), rtol=1e-4, atol=1e-5 * ref
+        )
+
+    def test_small_n_raises(self):
+        from tomobar_tpu.ops.usfft_pallas import usfft_grid_pallas
+
+        d = jnp.zeros((2, 8, 64), dtype=jnp.float32)
+        with pytest.raises(ValueError):
+            usfft_grid_pallas(d, d, 64, np.linspace(0, 3, 8))
+
+
 class TestClassicFilterBank:
     """ASTRA-equivalent classic filter set on the host FBP path
     (reference exposes these via FBP_CUDA config, astra_base.py:351-356)."""

@@ -1,21 +1,24 @@
-"""Fused Pallas PD-TV (Chambolle-Pock) iteration for TPU.
+"""Fused Pallas PD-TV (Chambolle-Pock) iterations for TPU.
 
 TPU equivalent of the reference's fully fused CUDA kernel
 (``tomobar/cuda_kernels/primal_dual_for_total_variation.cu:126-301``) — one
-kernel launch per iteration computing the dual ascent + TV-ball projection
-+ divergence + relaxed primal update, with the reference's
-"recompute neighbour duals" trick: the kernel evaluates projected duals on
-an extended row range (one halo row) instead of a second pass/sync.
+kernel launch computing the dual ascent + TV-ball projection + divergence
++ relaxed primal update, with the reference's "recompute neighbour duals"
+trick: the kernel evaluates projected duals on an extended row range (one
+halo row) instead of a second pass/sync.
 
-**Streaming design.**  The y-axis halos are carried in VMEM scratch across
-the (sequential) grid instead of re-fetching whole neighbour blocks from
-HBM: at grid step ``yb`` the kernel fetches only the CENTRE blocks of
-``u``/duals for block ``yb`` plus the data block for ``yb-1``, computes the
-full update for output block ``yb-1`` from scratch rows (previous block +
-two predecessor rows), then rotates the fetched blocks into scratch.  HBM
-traffic is 9 block-moves per voxel per iteration (5 in + 4 out) versus 14
-for the naive prev/centre/next BlockSpec formulation — the kernel is
-HBM-bound, so this is a direct ~1.5x.
+**Streaming wavefront design.**  The y-axis halos are carried in VMEM
+scratch across the (sequential) grid instead of re-fetching whole
+neighbour blocks from HBM, and ``K`` *iterations* ride one sweep as a
+row-wavefront: at grid step ``yb``, level ``k`` (k = 1..K) computes block
+``yb - k`` of iteration ``k`` from level ``k-1``'s scratch rows plus the
+first row of the block level ``k-1`` just produced.  Only level 0 (the
+input iterate) is read from HBM and only level K is written back, so HBM
+traffic is 9 block-moves per voxel per *sweep* — ``9/K`` per iteration —
+versus 14 for the naive prev/centre/next BlockSpec formulation.  On a v5e
+the single-iteration kernel measured 322 GB/s effective (HBM-bound); the
+wavefront converts that directly into iteration rate until the VPU
+stencil work becomes the bound.
 
 Layout: volumes are processed as ``(ny, nz, nx)`` — y is the blocked/grid
 axis, z the sublane axis, x the lane axis.  Boundary semantics match
@@ -30,6 +33,7 @@ back to the XLA path otherwise.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -40,6 +44,9 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["pd_tv_pallas_supported", "pd_tv_pallas"]
 
 _YB = 4  # rows per block (VMEM-bound: in/out windows double-buffered)
+# iterations fused per sweep; VMEM scratch grows ~1.7 MB/level at
+# production widths, so 3 keeps the working set inside ~16 MB VMEM
+_K_FUSE = int(os.environ.get("TOMOBAR_TPU_PDTV_FUSE", "3"))
 
 
 def pd_tv_pallas_supported(shape) -> bool:
@@ -47,27 +54,27 @@ def pd_tv_pallas_supported(shape) -> bool:
     return nx % 128 == 0 and ny % _YB == 0 and ny >= 2 * _YB
 
 
-def _pd_tv_stream_kernel(
-    data_ref, uc_ref, p1c_ref, p2c_ref, p3c_ref,
-    uo_ref, p1o_ref, p2o_ref, p3o_ref,
-    us_ref, p1s_ref, p2s_ref, p3s_ref,
+def _level_update(
+    c, u_sc, p1_sc, p2_sc, p3_sc, u_next_head, data_blk,
     *, YB, ny, nz, nx, sigma, tau, lt, theta, method_tv, nonneg,
 ):
-    yb = pl.program_id(0)  # 0..nb inclusive; output block is yb-1
+    """One PD-TV iteration for output block ``c`` (rows c*YB .. c*YB+YB-1).
 
-    # ---------------- compute output block yb-1 from scratch ----------------
-    # scratch u rows: us[j] = u[(yb-1)*YB - 2 + j], j in [0, YB+2)
-    # scratch duals:  ps[i] = p[(yb-1)*YB - 1 + i], i in [0, YB+1)
-    # (garbage at yb == 0 / for negative global rows; every use is masked
-    # and the block written at yb == 0 is rewritten at yb == 1)
-    u_sc = us_ref[...]
+    ``u_sc`` is the previous-level u window (YB+2 rows, global rows
+    c*YB-2 .. c*YB+YB-1); ``p*_sc`` the previous-level dual windows
+    (YB+1 rows, global rows c*YB-1 .. c*YB+YB-1); ``u_next_head`` the
+    previous-level u row c*YB+YB (1, nz, nx).  Returns the new
+    (u, p1, p2, p3) blocks, each (YB, nz, nx) float32.  Garbage rows
+    (negative / >= ny global rows) never reach valid outputs: every use
+    is masked on the global row index.
+    """
     u_ext = u_sc[1 : YB + 2]  # rows b0-1 .. b0+YB-1
     u_ext_prev = u_sc[0 : YB + 1]  # rows b0-2 .. b0+YB-2
     u_ext_next = jnp.concatenate(
-        [u_sc[2 : YB + 2], uc_ref[0:1]], axis=0
-    )  # rows b0 .. b0+YB (last row = first row of the next block)
+        [u_sc[2 : YB + 2], u_next_head], axis=0
+    )  # rows b0 .. b0+YB
 
-    row_g = (yb - 1) * YB - 1 + jax.lax.broadcasted_iota(
+    row_g = c * YB - 1 + jax.lax.broadcasted_iota(
         jnp.int32, (YB + 1, nz, nx), 0
     )
     lane = jax.lax.broadcasted_iota(jnp.int32, (YB + 1, nz, nx), 2)
@@ -86,9 +93,9 @@ def _pd_tv_stream_kernel(
         dz = jnp.zeros_like(u_ext)
 
     # ---- dual ascent + projection on the ext range ----
-    p1n = p1s_ref[...].astype(jnp.float32) + sigma * dx
-    p2n = p2s_ref[...].astype(jnp.float32) + sigma * dy
-    p3n = p3s_ref[...].astype(jnp.float32) + sigma * dz
+    p1n = p1_sc.astype(jnp.float32) + sigma * dx
+    p2n = p2_sc.astype(jnp.float32) + sigma * dy
+    p3n = p3_sc.astype(jnp.float32) + sigma * dz
     if method_tv == 0:  # isotropic joint projection
         denom = p1n * p1n + p2n * p2n + (p3n * p3n if nz > 1 else 0.0)
         scale = jnp.where(
@@ -113,9 +120,7 @@ def _pd_tv_stream_kernel(
     # layout bug when nx > 128
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (YB, nz, nx), 2)
     zidx_c = jax.lax.broadcasted_iota(jnp.int32, (YB, nz, nx), 1)
-    row_c = (yb - 1) * YB + jax.lax.broadcasted_iota(
-        jnp.int32, (YB, nz, nx), 0
-    )
+    row_c = c * YB + jax.lax.broadcasted_iota(jnp.int32, (YB, nz, nx), 0)
 
     p1_xm = pltpu.roll(p1c, 1, 2)  # P1 at (x-1)
     div = p1c - jnp.where(lane_c == 0, 0.0, p1_xm)
@@ -127,25 +132,68 @@ def _pd_tv_stream_kernel(
     # ---- relaxed primal update (DivProj + over-relaxation) ----
     u_c = u_sc[2 : YB + 2]  # rows b0 .. b0+YB-1
     uc = jnp.maximum(u_c, 0.0) if nonneg else u_c
-    u_new = (uc + tau * div + lt * data_ref[...]) / (1.0 + lt)
-    uo_ref[...] = u_new + theta * (u_new - uc)
-    p1o_ref[...] = p1c.astype(p1o_ref.dtype)
-    p2o_ref[...] = p2c.astype(p2o_ref.dtype)
-    p3o_ref[...] = p3c.astype(p3o_ref.dtype)
+    u_new = (uc + tau * div + lt * data_blk) / (1.0 + lt)
+    return u_new + theta * (u_new - uc), p1c, p2c, p3c
 
-    # ---------------- rotate fetched centre blocks into scratch -------------
-    tail_u = u_sc[YB : YB + 2]  # rows yb*YB-2, yb*YB-1
-    us_ref[0:2] = tail_u
-    us_ref[2 : YB + 2] = uc_ref[...]
-    tail1 = p1s_ref[YB : YB + 1]
-    tail2 = p2s_ref[YB : YB + 1]
-    tail3 = p3s_ref[YB : YB + 1]
-    p1s_ref[0:1] = tail1
-    p2s_ref[0:1] = tail2
-    p3s_ref[0:1] = tail3
-    p1s_ref[1 : YB + 1] = p1c_ref[...]
-    p2s_ref[1 : YB + 1] = p2c_ref[...]
-    p3s_ref[1 : YB + 1] = p3c_ref[...]
+
+def _pd_tv_stream_kernel(
+    data_ref, uc_ref, p1c_ref, p2c_ref, p3c_ref,
+    uo_ref, p1o_ref, p2o_ref, p3o_ref,
+    dring_ref, *scratch,
+    K, YB, ny, nz, nx, sigma, tau, lt, theta, method_tv, nonneg,
+):
+    """K-level wavefront: at grid step ``yb``, level k computes block
+    ``yb - k`` of iteration k from level k-1's scratch; level 0 is the
+    HBM-fetched input iterate, level K is written back to HBM.  Each
+    level's scratch is rotated right after the next level consumed it,
+    bounding temporaries to ~2 levels' blocks."""
+    yb = pl.program_id(0)  # 0 .. nb+K-1; output (level-K) block is yb-K
+    nslots = K + 1
+
+    # data ring: slot (yb % nslots) <- data block min(yb, nb-1); level k
+    # reads slot ((yb - k) % nslots) == its output block's data
+    slot = jax.lax.rem(yb, nslots)
+    dring_ref[slot] = data_ref[...]
+
+    upd = partial(
+        _level_update,
+        YB=YB, ny=ny, nz=nz, nx=nx, sigma=sigma, tau=tau, lt=lt,
+        theta=theta, method_tv=method_tv, nonneg=nonneg,
+    )
+
+    def rotate(us_ref, p1s_ref, p2s_ref, p3s_ref, u_blk, p1_blk, p2_blk, p3_blk):
+        us_ref[0:2] = us_ref[YB : YB + 2]
+        us_ref[2 : YB + 2] = u_blk
+        p1s_ref[0:1] = p1s_ref[YB : YB + 1]
+        p2s_ref[0:1] = p2s_ref[YB : YB + 1]
+        p3s_ref[0:1] = p3s_ref[YB : YB + 1]
+        p1s_ref[1 : YB + 1] = p1_blk.astype(p1s_ref.dtype)
+        p2s_ref[1 : YB + 1] = p2_blk.astype(p2s_ref.dtype)
+        p3s_ref[1 : YB + 1] = p3_blk.astype(p3s_ref.dtype)
+
+    # level k-1 state feeding level k's compute this step
+    head = uc_ref[0:1]  # level-0 u row yb*YB (head of the fetched block)
+    feed = (uc_ref[...], p1c_ref[...], p2c_ref[...], p3c_ref[...])
+    for k in range(1, K + 1):
+        us_ref, p1s_ref, p2s_ref, p3s_ref = scratch[4 * (k - 1) : 4 * k]
+        dslot = jax.lax.rem(yb - k + nslots, nslots)
+        blk = upd(
+            yb - k,
+            us_ref[...],
+            p1s_ref[...], p2s_ref[...], p3s_ref[...],
+            head,
+            dring_ref[dslot],
+        )
+        # level k-1's scratch is free now: append the block that fed it
+        rotate(us_ref, p1s_ref, p2s_ref, p3s_ref, *feed)
+        head = blk[0][0:1]
+        feed = blk
+
+    u_out, p1_out, p2_out, p3_out = feed
+    uo_ref[...] = u_out
+    p1o_ref[...] = p1_out.astype(p1o_ref.dtype)
+    p2o_ref[...] = p2_out.astype(p2o_ref.dtype)
+    p3o_ref[...] = p3_out.astype(p3o_ref.dtype)
 
 
 def pd_tv_pallas(
@@ -172,62 +220,73 @@ def pd_tv_pallas(
     data_t = jnp.swapaxes(data.astype(jnp.float32), 0, 1)  # (ny, nz, nx)
     nb = ny // _YB
 
-    kernel = partial(
-        _pd_tv_stream_kernel,
-        YB=_YB, ny=ny, nz=nz, nx=nx,
-        sigma=float(sigma), tau=float(tau),
-        lt=float(lt), theta=float(theta),
-        method_tv=int(methodTV), nonneg=bool(nonneg),
-    )
+    def make_sweep(K: int):
+        kernel = partial(
+            _pd_tv_stream_kernel,
+            K=K, YB=_YB, ny=ny, nz=nz, nx=nx,
+            sigma=float(sigma), tau=float(tau),
+            lt=float(lt), theta=float(theta),
+            method_tv=int(methodTV), nonneg=bool(nonneg),
+        )
 
-    def prev_blk(yb):
-        return (jnp.maximum(yb - 1, 0), 0, 0)
+        def out_blk(yb):
+            return (jnp.maximum(yb - K, 0), 0, 0)
 
-    def cur_blk(yb):
-        return (jnp.minimum(yb, nb - 1), 0, 0)
+        def cur_blk(yb):
+            return (jnp.minimum(yb, nb - 1), 0, 0)
 
-    blk = (_YB, nz, nx)
-    step = pl.pallas_call(
-        kernel,
-        grid=(nb + 1,),
-        in_specs=[
-            pl.BlockSpec(blk, prev_blk),  # data (for output block yb-1)
-            pl.BlockSpec(blk, cur_blk),  # u centre
-            pl.BlockSpec(blk, cur_blk),  # p1 centre
-            pl.BlockSpec(blk, cur_blk),  # p2 centre
-            pl.BlockSpec(blk, cur_blk),  # p3 centre
-        ],
-        out_specs=[
-            pl.BlockSpec(blk, prev_blk),
-            pl.BlockSpec(blk, prev_blk),
-            pl.BlockSpec(blk, prev_blk),
-            pl.BlockSpec(blk, prev_blk),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((ny, nz, nx), jnp.float32),
-            jax.ShapeDtypeStruct((ny, nz, nx), dual_dtype),
-            jax.ShapeDtypeStruct((ny, nz, nx), dual_dtype),
-            jax.ShapeDtypeStruct((ny, nz, nx), dual_dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((_YB + 2, nz, nx), jnp.float32),
-            pltpu.VMEM((_YB + 1, nz, nx), dual_dtype),
-            pltpu.VMEM((_YB + 1, nz, nx), dual_dtype),
-            pltpu.VMEM((_YB + 1, nz, nx), dual_dtype),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )
+        blk = (_YB, nz, nx)
+        level_scratch = []
+        for _ in range(K):
+            level_scratch += [
+                pltpu.VMEM((_YB + 2, nz, nx), jnp.float32),
+                pltpu.VMEM((_YB + 1, nz, nx), dual_dtype),
+                pltpu.VMEM((_YB + 1, nz, nx), dual_dtype),
+                pltpu.VMEM((_YB + 1, nz, nx), dual_dtype),
+            ]
+        return pl.pallas_call(
+            kernel,
+            grid=(nb + K,),
+            in_specs=[
+                pl.BlockSpec(blk, cur_blk),  # data (into the ring)
+                pl.BlockSpec(blk, cur_blk),  # u centre
+                pl.BlockSpec(blk, cur_blk),  # p1 centre
+                pl.BlockSpec(blk, cur_blk),  # p2 centre
+                pl.BlockSpec(blk, cur_blk),  # p3 centre
+            ],
+            out_specs=[
+                pl.BlockSpec(blk, out_blk),
+                pl.BlockSpec(blk, out_blk),
+                pl.BlockSpec(blk, out_blk),
+                pl.BlockSpec(blk, out_blk),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((ny, nz, nx), jnp.float32),
+                jax.ShapeDtypeStruct((ny, nz, nx), dual_dtype),
+                jax.ShapeDtypeStruct((ny, nz, nx), dual_dtype),
+                jax.ShapeDtypeStruct((ny, nz, nx), dual_dtype),
+            ],
+            scratch_shapes=[pltpu.VMEM((K + 1, _YB, nz, nx), jnp.float32)]
+            + level_scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )
+
+    K = max(1, min(_K_FUSE, iterations))
+    sweep = make_sweep(K)
 
     def body(_, carry):
         u, p1, p2, p3 = carry
-        return tuple(step(data_t, u, p1, p2, p3))
+        return tuple(sweep(data_t, u, p1, p2, p3))
 
     p0 = jnp.zeros((ny, nz, nx), dtype=dual_dtype)
-    u, _, _, _ = jax.lax.fori_loop(
-        0, iterations, body, (data_t, p0, p0, p0)
-    )
+    carry = (data_t, p0, p0, p0)
+    carry = jax.lax.fori_loop(0, iterations // K, body, carry)
+    rem = iterations % K
+    if rem:
+        carry = tuple(make_sweep(rem)(*((data_t,) + tuple(carry[:4]))))
+    u = carry[0]
     return jnp.swapaxes(u, 0, 1)

@@ -44,6 +44,8 @@ from tomobar_tpu.geometry import Geometry
 
 __all__ = ["pallas_available", "radon_fp_pallas", "radon_bp_pallas"]
 
+_INTERPRET = [False]  # test hook: run the kernels in interpret mode
+
 _AB = 16  # angles per shear-kernel pass (bounds VMEM for the s/q blocks)
 _TT = 128  # resample output tile (lanes)
 _TW = 512  # resample input window (covers 128*sqrt(2) + align + slack)
@@ -152,11 +154,15 @@ def _shear_fp_kernel(beta_ref, vol_ref, s_ref, *, YB, U0, NXP, ny):
             kf = jnp.floor(shift)
             f = shift - kf
             o = U0 - kf.astype(jnp.int32)
-            o_hi = o // 128
-            o_lo = o - o_hi * 128
+            # window based on o-1 (like the transpose kernel) so the
+            # wrapped g[NXP-1] = f*row[0] tap (the j = -1 interp tap)
+            # lands at s[o-1] even when (o mod 128) == 0
+            o1 = o - 1
+            o1_hi = o1 // 128
+            o1_lo = o1 - o1_hi * 128
             g = row + f * row_d
-            g = pltpu.roll(g, o_lo, 1)
-            off = pl.multiple_of(o_hi * 128, 128)
+            g = pltpu.roll(g, o1_lo + 1, 1)
+            off = pl.multiple_of(o1_hi * 128, 128)
             s_ref[ia, :, pl.ds(off, NXP)] += g
             return 0
 
@@ -330,6 +336,7 @@ def _fp_driven_pallas(vol: jnp.ndarray, prm: _DrivenParams) -> jnp.ndarray:
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((A_pad, nz, prm.LU), jnp.float32),
+        interpret=_INTERPRET[0],
     )(beta, vol_t)
 
     p = pl.pallas_call(
@@ -351,6 +358,7 @@ def _fp_driven_pallas(vol: jnp.ndarray, prm: _DrivenParams) -> jnp.ndarray:
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((A_pad, nz, TP), jnp.float32),
+        interpret=_INTERPRET[0],
     )(alpha, gamma, s)
 
     return jnp.swapaxes(p[: prm.A, :, : prm.det_x], 0, 1)  # (nz, A, det_x)
@@ -391,6 +399,7 @@ def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((A_pad, nz, prm.LU), jnp.float32),
+        interpret=_INTERPRET[0],
     )(alpha, gamma, p)
 
     # backward-difference lines d[u] = q[u] - q[u-1], once per angle (the
@@ -419,6 +428,7 @@ def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((ny, nz, prm.NXP), jnp.float32),
+        interpret=_INTERPRET[0],
     )(beta, q, qd)
 
     return jnp.swapaxes(vol_t[:, :, :nx], 0, 1)  # (nz, ny, nx)

@@ -17,11 +17,13 @@ TPU-first notes:
 * All fftshifts are sign-flip multiplies, exactly like the reference's
   ``r2c_c1dfftshift``/``c1dfftshift``/``c2dfftshift`` kernels.
 * The two-slices-per-complex packing is kept (halves the FFT count).
-* The frequency-domain spreading uses two real XLA scatter-adds over the
-  (2m+1)^2 kernel footprint (deterministic, no atomics).  A Pallas
-  gather-formulated kernel with static angle-range pruning (the TPU
-  equivalent of ``gather_kernel_center`` + ``angle_based_prune``) is the
-  planned fast path; the scatter version is the correctness anchor.
+* The frequency-domain spreading has two implementations: the XLA
+  scatter-add oracle in this module (deterministic, no atomics; two real
+  scatters over the (2m+1)^2 footprint) and the banded-matmul Pallas
+  fast path in :mod:`tomobar_tpu.ops.usfft_pallas` (the TPU equivalent
+  of ``gather_kernel_center`` + ``angle_based_prune``).  Dispatch is
+  automatic on TPU; override with the ``TOMOBAR_TPU_USFFT`` env var
+  ("auto" | "pallas" | "xla").
 
 Behavioural quirk preserved from the reference (documented per SURVEY §7):
 with the reference's ``calc_filter`` amplitudes the output is a factor
@@ -50,7 +52,34 @@ from tomobar_tpu.ops.fft_real import (
 from tomobar_tpu.ops.filters import calc_filter
 from tomobar_tpu.utils.tools import check_kwargs, data_dims_swapper
 
-__all__ = ["fourier_inv", "usfft_grid"]
+__all__ = ["fourier_inv", "usfft_grid", "usfft_grid_dispatch"]
+
+import os as _os
+
+_USFFT_BACKEND = _os.environ.get("TOMOBAR_TPU_USFFT", "auto")
+
+
+def set_usfft_backend(name: str) -> None:
+    """Select the gridding implementation: "auto", "pallas" or "xla"."""
+    global _USFFT_BACKEND
+    if name not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown usfft backend {name!r}")
+    _USFFT_BACKEND = name
+
+
+def usfft_grid_dispatch(data_re, data_im, n, theta, eps=1e-4):
+    """Route to the Pallas banded-matmul gridding on TPU (n >= 128),
+    otherwise the XLA scatter oracle."""
+    use_pallas = _USFFT_BACKEND == "pallas"
+    if _USFFT_BACKEND == "auto" and n >= 128:
+        from tomobar_tpu.ops.projector_pallas import pallas_available
+
+        use_pallas = pallas_available()
+    if use_pallas:
+        from tomobar_tpu.ops.usfft_pallas import usfft_grid_pallas
+
+        return usfft_grid_pallas(data_re, data_im, n, theta, eps)
+    return usfft_grid(data_re, data_im, n, theta, eps)
 
 
 def _fbp_filter_stage(
@@ -315,7 +344,7 @@ def fourier_inv(model, data, **kwargs) -> jnp.ndarray:
         kwargs.get("oversampling_level", 4),
     )
     dre, dim = _pack_pairs(filtered)
-    fre, fim = usfft_grid(dre, dim, n, theta, eps)
+    fre, fim = usfft_grid_dispatch(dre, dim, n, theta, eps)
     fre, fim = _ifft2_centered(fre, fim, n)
     recon = _unpad_mul_phi(
         fre, fim, n, nproj, nz, odd_horiz, odd_vert, recon_size, mu
