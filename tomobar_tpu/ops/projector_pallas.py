@@ -46,14 +46,23 @@ __all__ = ["pallas_available", "radon_fp_pallas", "radon_bp_pallas"]
 
 _INTERPRET = [False]  # test hook: run the kernels in interpret mode
 
-_AB = 16  # angles per shear-kernel pass (bounds VMEM for the s/q blocks)
+import os as _os
+
+# angles per shear-kernel pass: the volume is streamed from HBM
+# ceil(A/_AB) times in K1 and the q/qd blocks sized (2*_AB, nz, LU) live
+# in VMEM in K4 — larger is less HBM traffic until VMEM runs out
+_AB = int(_os.environ.get("TOMOBAR_TPU_AB", "16"))
 _TT = 128  # resample output tile (lanes)
 _TW = 512  # resample input window (covers 128*sqrt(2) + align + slack)
 _UT = 128  # resample-transpose output tile
 # t-window per u-tile: up to 127/|alpha| <= 127 samples + kernel margin
 # + up to 128 lost to 128-alignment of the window start => 384 lanes
 _PW = 384
-_YB_VMEM_BUDGET = 2 * 1024 * 1024  # bytes for the (YB, nz, NXP) volume block
+# bytes for the (YB, nz, NXP) volume block: K4 re-fetches the q/qd angle
+# blocks once per row block, so a larger YB directly divides that traffic
+_YB_VMEM_BUDGET = int(
+    _os.environ.get("TOMOBAR_TPU_YB_BYTES", str(2 * 1024 * 1024))
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -336,6 +345,9 @@ def _fp_driven_pallas(vol: jnp.ndarray, prm: _DrivenParams) -> jnp.ndarray:
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((A_pad, nz, prm.LU), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=_INTERPRET[0],
     )(beta, vol_t)
 
@@ -358,6 +370,9 @@ def _fp_driven_pallas(vol: jnp.ndarray, prm: _DrivenParams) -> jnp.ndarray:
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((A_pad, nz, TP), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=_INTERPRET[0],
     )(alpha, gamma, s)
 
@@ -399,6 +414,9 @@ def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((A_pad, nz, prm.LU), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=_INTERPRET[0],
     )(alpha, gamma, p)
 
@@ -428,6 +446,9 @@ def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((ny, nz, prm.NXP), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=_INTERPRET[0],
     )(beta, q, qd)
 
