@@ -60,7 +60,18 @@ def run_config(N, nz, nproj, os_number, iters, tv_iters):
             x_t = x + ((t_old - 1.0) / t) * (x - x_old)
         return x, x_t, t
 
-    step = jax.jit(fista_iter, donate_argnums=(0, 1))
+    from tomobar_tpu.bench.harness import device_sync
+
+    def k_iters(k):
+        """jit: k outer iterations in one executable (lax.fori_loop)."""
+
+        def run(x, x_t, t, sino):
+            def body(_, carry):
+                return fista_iter(*carry, sino)
+
+            return jax.lax.fori_loop(0, k, body, (x, x_t, t))
+
+        return jax.jit(run)
 
     key = jax.random.PRNGKey(0)
     sino = jax.random.uniform(key, (nz, nproj, N), dtype=jnp.float32)
@@ -68,15 +79,21 @@ def run_config(N, nz, nproj, os_number, iters, tv_iters):
     x_t = jnp.zeros((nz, N, N), dtype=jnp.float32)
     t = jnp.float32(1.0)
 
-    # warmup / compile
-    x, x_t, t = step(x, x_t, t, sino)
-    jax.block_until_ready(x)
+    # Two loop lengths; the difference cancels dispatch + readback
+    # latency (block_until_ready is NOT a barrier on remote-attached
+    # devices -- see bench.harness.device_sync).
+    k_lo, k_hi = iters, 3 * iters
+    f_lo, f_hi = k_iters(k_lo), k_iters(k_hi)
+    device_sync(f_lo(x, x_t, t, sino))  # compile + warm
+    device_sync(f_hi(x, x_t, t, sino))
 
     t0 = timeit.default_timer()
-    for _ in range(iters):
-        x, x_t, t = step(x, x_t, t, sino)
-    jax.block_until_ready(x)
-    dt = (timeit.default_timer() - t0) / iters
+    device_sync(f_lo(x, x_t, t, sino))
+    t_lo = timeit.default_timer() - t0
+    t0 = timeit.default_timer()
+    device_sync(f_hi(x, x_t, t, sino))
+    t_hi = timeit.default_timer() - t0
+    dt = max(t_hi - t_lo, 1e-9) / (k_hi - k_lo)
     return 1.0 / dt
 
 

@@ -1,0 +1,108 @@
+"""Support-tool tests (reference: tests/test_tools.py — normaliser,
+padding shapes, axis-swap logic; plus autocropper which the reference
+leaves untested)."""
+
+import numpy as np
+import pytest
+
+from tomobar_tpu.utils.tools import (
+    apply_circular_mask,
+    apply_horiz_detector_padding,
+    autocropper,
+    data_dims_swapper,
+    normaliser,
+    perform_recon_crop,
+)
+
+
+class TestAutocropper:
+    def _stack(self, n_proj=4, det_v=64, det_h=80, box=(20, 44, 30, 58)):
+        rng = np.random.default_rng(7)
+        data = rng.uniform(0.0, 0.05, (n_proj, det_v, det_h)).astype(np.float32)
+        v0, v1, h0, h1 = box
+        data[:, v0:v1, h0:h1] += 1.0
+        return data, box
+
+    def test_crops_to_object_with_margin(self):
+        data, (v0, v1, h0, h1) = self._stack()
+        addbox = 3
+        out = autocropper(data, addbox=addbox, backgr_pix1=8)
+        # crop must contain the object plus the addbox margin
+        assert out.shape[0] == data.shape[0]
+        assert out.shape[1] <= (v1 - v0) + 2 * addbox + 2
+        assert out.shape[2] <= (h1 - h0) + 2 * addbox + 2
+        # the object's full mass is preserved
+        assert out.sum() >= data[:, v0:v1, h0:h1].sum()
+
+    def test_no_object_returns_full_height(self):
+        rng = np.random.default_rng(3)
+        data = rng.uniform(0.0, 0.05, (2, 32, 40)).astype(np.float32)
+        out = autocropper(data, addbox=0, backgr_pix1=4)
+        # pure noise: thresholds sit above most profiles; result is a
+        # valid (possibly full) crop, never an empty array
+        assert out.size > 0
+
+    def test_keeps_secondary_objects(self):
+        """Two separated blobs: both must survive (the reference's
+        walk-from-peak can drop the second one)."""
+        data, _ = self._stack(box=(10, 20, 10, 20))
+        data[:, 40:50, 60:70] += 1.0
+        out = autocropper(data, addbox=0, backgr_pix1=8)
+        assert out.shape[1] >= 40 and out.shape[2] >= 60
+
+
+class TestMaskCropPad:
+    def test_circular_mask_radius_semantics(self):
+        vol = np.ones((2, 32, 32), dtype=np.float32)
+        small = np.asarray(apply_circular_mask(vol, 0.5))
+        full = np.asarray(apply_circular_mask(vol, 1.0))
+        grown = np.asarray(apply_circular_mask(vol, 2.0))
+        # radius <= 1 shrinks, > 1 grows (reference suppTools.py:387-394;
+        # demos use 2.0 to mean "no cropping")
+        assert small.sum() < full.sum() <= grown.sum()
+        assert grown.sum() == vol.sum()
+
+    def test_horiz_padding_shapes(self):
+        data = np.ones((3, 5, 16), dtype=np.float32)
+        out = np.asarray(apply_horiz_detector_padding(data, 4))
+        assert out.shape == (3, 5, 24)
+        # edge padding repeats the boundary values
+        np.testing.assert_allclose(out[..., :4], 1.0)
+
+    def test_recon_crop_centres(self):
+        vol = np.zeros((2, 16, 16), dtype=np.float32)
+        vol[:, 4:12, 4:12] = 1.0
+        out = np.asarray(perform_recon_crop(vol, 8))
+        assert out.shape == (2, 8, 8)
+        np.testing.assert_allclose(out, 1.0)
+
+
+class TestAxisSwapper:
+    def test_to_canonical_3d(self):
+        data = np.arange(2 * 3 * 4).reshape(2, 3, 4)
+        out = np.asarray(
+            data_dims_swapper(data, ["angles", "detY", "detX"],
+                              ["detY", "angles", "detX"])
+        )
+        assert out.shape == (3, 2, 4)
+        np.testing.assert_array_equal(out, np.swapaxes(data, 0, 1))
+
+    def test_identity_when_ordered(self):
+        data = np.zeros((2, 3, 4))
+        out = np.asarray(
+            data_dims_swapper(data, ["detY", "angles", "detX"],
+                              ["detY", "angles", "detX"])
+        )
+        assert out.shape == data.shape
+
+
+class TestNormaliser:
+    def test_mean_flats_log(self):
+        rng = np.random.default_rng(5)
+        flats = rng.uniform(0.9, 1.1, (4, 6, 8)).astype(np.float32)
+        darks = np.zeros((4, 6, 8), dtype=np.float32)
+        data = 0.5 * flats[:1] * np.ones((10, 6, 8), dtype=np.float32)
+        out = normaliser(data, flats, darks, log=True, method="mean")
+        assert out.shape == data.shape
+        # -log(0.5) ~ 0.693 up to flat-field noise
+        assert abs(out.mean() - 0.693) < 0.1

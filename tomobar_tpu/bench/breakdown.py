@@ -45,14 +45,10 @@ def main():
     x = jax.random.uniform(key, (nz, N, N), dtype=jnp.float32)
     sub0 = jax.device_put(np.asarray(P.sino_subset(sino, 0)))
 
-    def time_fn(name, fn, *args, reps=5, bytes_moved=None):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        t0 = timeit.default_timer()
-        for _ in range(reps):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        dt = (timeit.default_timer() - t0) / reps
+    from tomobar_tpu.bench.harness import time_fn as _time_fn
+
+    def time_fn(name, fn, *args, reps=20, bytes_moved=None):
+        dt = _time_fn(fn, *args, reps=reps)
         bw = f"  eff-BW={bytes_moved / dt / 1e9:.0f} GB/s" if bytes_moved else ""
         print(f"{name:34s} {dt * 1e3:9.2f} ms{bw}")
         return dt

@@ -179,60 +179,40 @@ class RecToolsDIR:
         return self._maybe_np(rec)
 
     def FOURIER(self, data, **kwargs):
-        """2D Fourier-slice-theorem reconstruction (host path, mirrors
-        ``methodsDIR.py:177-254`` including the oversampled zero-padded grid
-        and scipy griddata interpolation)."""
+        """2D Fourier-slice-theorem reconstruction, TPU-native.
+
+        The reference implements this with host scipy ``griddata``
+        interpolation of the polar Fourier samples (``methodsDIR.py:177-254``,
+        even-detX and integer-CoR only).  Here it is the same device USFFT
+        pipeline as :meth:`FOURIER_INV` run *without* a filter: 1-D FFT per
+        projection -> exact Gaussian-kernel gridding onto the Cartesian
+        frequency plane -> 2-D inverse FFT.  Lifts the reference's detX
+        parity and integer-CoR restrictions; ``method`` (the scipy
+        interpolant name) is accepted for API compatibility and ignored.
+        Like the reference's, the result is the *unfiltered* Fourier-slice
+        image (low-frequency weighted); use FBP/FOURIER_INV for a
+        quantitative reconstruction.
+        """
+        from tomobar_tpu.ops.usfft import fourier_inv
+
         if np.ndim(data) == 3:
             raise ValueError(
                 "Fourier method is currently for 2D data only, use FBP if 3D "
                 "reconstruction needed"
             )
-        method = kwargs.get("method", "linear")
+        method = kwargs.pop("method", "linear")
         if method not in ["linear", "nearest", "cubic"]:
             raise ValueError(
                 "For griddata interpolation module choose nearest, linear or cubic"
             )
-        order = kwargs.get("data_axes_labels_order")
-        data = np.asarray(data)
+        order = kwargs.pop("data_axes_labels_order", None)
+        data = jnp.asarray(data, dtype=jnp.float32)
         if order is not None:
-            data = np.asarray(data_dims_swapper(data, order, ["angles", "detX"]))
+            data = data_dims_swapper(data, order, ["angles", "detX"])
 
-        from scipy.fft import fft, fftshift, ifft2, ifftshift
-        from scipy.interpolate import griddata
-
-        obj_size = self.recon_size
-        oversampling = 2
-        angles_tot, det_h = data.shape
-        if det_h % 2 != 0:
-            raise ValueError(
-                "The horizontal detector size of the projection data "
-                "(sinogram) must be even"
-            )
-        det_x_up = oversampling * det_h
-        sino_up = np.zeros([angles_tot, det_x_up], dtype=np.float32)
-        cor = int(self.centre_of_rotation) if np.ndim(self.centre_of_rotation) == 0 else 0
-        pad_from = det_h // 2 + cor
-        pad_to = det_x_up - det_h // 2 + cor
-        sino_up[:, pad_from:pad_to] = data
-
-        sino_fft = fftshift(fft(ifftshift(sino_up, axes=1)), axes=1)
-        a = -self.geom.angles
-        r = np.arange(det_x_up) - det_x_up / 2
-        r, a = np.meshgrid(r, a)
-        srcx = (det_x_up / 2) + r.flatten() * np.cos(a.flatten())
-        srcy = (det_x_up / 2) + r.flatten() * np.sin(a.flatten())
-        dstx, dsty = np.meshgrid(np.arange(det_x_up), np.arange(det_x_up))
-        fft2_grid = griddata(
-            (srcy, srcx),
-            sino_fft.flatten(),
-            (dsty.flatten(), dstx.flatten()),
-            method,
-            fill_value=0.0,
-        ).reshape((det_x_up, det_x_up))
-        recon = np.real(fftshift(ifft2(ifftshift(fft2_grid))))
-        unpad_from = det_x_up // 2 - obj_size // 2
-        unpad_to = det_x_up // 2 + obj_size // 2
-        return recon[unpad_from:unpad_to, unpad_from:unpad_to]
+        kwargs["filter_type"] = "none"
+        rec = fourier_inv(self, data[None], **kwargs)
+        return self._maybe_np(rec[0])
 
 
 class RecToolsDIRTPU(RecToolsDIR):

@@ -54,15 +54,22 @@ _CW = 384  # column window (covers sqrt(2)*RW + 2m+2 + 128 alignment loss)
 _ACH = 8  # angles per grid step
 _ROW_PAD = 128  # extended-grid row margin (wrap fold)
 _COL_PAD = 256  # extended-grid column margin (wrap fold)
+# z-pairs per kernel call: the (pch, 2, RB, wt) output block must stay in
+# VMEM (~5.9 MB per pair at n=2592) next to the weight temporaries
+_PCH = 4
 
 
 def _grid_kernel(
-    sin_ref, cos_ref, g_ref, out_ref, *, n, m, cc, coeff0, cap, wt
+    sin_ref, cos_ref, g_ref, out_ref, *, n, npad, m, cc, coeff0, cap, wt,
+    npairs,
 ):
     """Accumulate one angle-chunk into one 128-row block of the extended
-    grid for one z-pair.  Grid dims: (pair, row_block, angle_chunk)."""
-    rb = pl.program_id(1)
-    ach = pl.program_id(2)
+    grid for all ``npairs`` z-pairs at once.  Grid dims:
+    (row_block, angle_chunk).  The kernel weights depend only on
+    (row_block, angle), so processing every pair per visit builds them
+    once and grows the MXU matmul to (npairs*2*RB, RW) @ (RW, CW)."""
+    rb = pl.program_id(0)
+    ach = pl.program_id(1)
 
     @pl.when(ach == 0)
     def _():
@@ -71,10 +78,11 @@ def _grid_kernel(
     rb_lo = rb * _RB - _ROW_PAD  # global grid row of tile row 0
     half = n / 2.0
 
-    i_row = jax.lax.broadcasted_iota(jnp.float32, (_RB, _RW), 0)
-    j_row = jax.lax.broadcasted_iota(jnp.float32, (_RB, _RW), 1)
-    j_col = jax.lax.broadcasted_iota(jnp.float32, (_RW, _CW), 0)
-    l_col = jax.lax.broadcasted_iota(jnp.float32, (_RW, _CW), 1)
+    # int iota + cast: Mosaic's tpu.iota only produces integer vectors
+    i_row = jax.lax.broadcasted_iota(jnp.int32, (_RB, _RW), 0).astype(jnp.float32)
+    j_row = jax.lax.broadcasted_iota(jnp.int32, (_RB, _RW), 1).astype(jnp.float32)
+    j_col = jax.lax.broadcasted_iota(jnp.int32, (_RW, _CW), 0).astype(jnp.float32)
+    l_col = jax.lax.broadcasted_iota(jnp.int32, (_RW, _CW), 1).astype(jnp.float32)
 
     def ang_body(ia, _):
         s = sin_ref[ach * _ACH + ia]
@@ -94,6 +102,9 @@ def _grid_kernel(
         c0f = jnp.floor(jnp.minimum(cx_a, cx_b)) - (m + 1.0)
         c0 = (c0f.astype(jnp.int32) // 128) * 128  # global column
         c0t = jnp.clip(c0 + _COL_PAD, 0, wt - _CW)  # tile column
+        # the clip never binds for real angle windows (margin analysis in
+        # module docstring) but hides the 128-multiple fact from Mosaic
+        c0t = pl.multiple_of((c0t // 128) * 128, 128)
         c0g = (c0t - _COL_PAD).astype(jnp.float32)
 
         # ---- row-side weights A (RB, RW): coeff0 * K1, exact tap cutoff
@@ -112,14 +123,24 @@ def _grid_kernel(
         w0 = jnp.exp(cc * d0 * d0)
         w0 = jnp.where((f0 >= -m) & (f0 <= m), w0, 0.0)
 
-        # ---- fold g into A per channel, one (2*RB, RW)@(RW, CW) matmul
-        gre = g_ref[0, 0, ia, pl.ds(r0, _RW)]  # (RW,) lanes
-        gim = g_ref[0, 1, ia, pl.ds(r0, _RW)]
-        a2 = jnp.concatenate([a_w * gre[None, :], a_w * gim[None, :]], axis=0)
+        # ---- fold g into A per channel and pair, one stacked
+        # (npairs*2*RB, RW) @ (RW, CW) matmul.  Mosaic can't vector-load
+        # at a dynamic lane offset: 128-aligned 2*RW load + dynamic roll
+        # (same trick as the projector's shear kernel).
+        r0a = jnp.clip((r0 // 128) * 128, 0, npad - 2 * _RW)
+        dr = r0 - r0a
+        parts = []
+        for p in range(npairs):  # static unroll (npairs <= _PCH)
+            gwin = g_ref[p, :, ia, pl.ds(pl.multiple_of(r0a, 128), 2 * _RW)]
+            gwin = pltpu.roll(gwin, 2 * _RW - dr, 1)  # [., dr+j] -> j
+            parts.append(a_w * gwin[0:1, :_RW])
+            parts.append(a_w * gwin[1:2, :_RW])
+        a2 = jnp.concatenate(parts, axis=0)
         out = jnp.dot(a2, w0, preferred_element_type=jnp.float32)
 
-        out_ref[0, 0, :, pl.ds(c0t, _CW)] += out[:_RB]
-        out_ref[0, 1, :, pl.ds(c0t, _CW)] += out[_RB:]
+        for p in range(npairs):
+            out_ref[p, 0, :, pl.ds(c0t, _CW)] += out[2 * p * _RB : (2 * p + 1) * _RB]
+            out_ref[p, 1, :, pl.ds(c0t, _CW)] += out[(2 * p + 1) * _RB : (2 * p + 2) * _RB]
         return 0
 
     jax.lax.fori_loop(0, _ACH, ang_body, 0)
@@ -143,45 +164,60 @@ def _grid_driven(
     (npairs, 2, 2n + 2*ROW_PAD, 2n + 2*COL_PAD) — caller folds margins."""
     npairs, _, n_ang, _ = g.shape
     two_n = 2 * n
-    nr_ext = two_n + 2 * _ROW_PAD
-    wt = two_n + 2 * _COL_PAD
+    # rows padded to a whole number of _RB blocks (extra top rows compute
+    # empty windows and are sliced away by the margin fold); columns to a
+    # 128 lane multiple so dynamic output offsets stay aligned
+    nr_ext = _round_up(two_n + 2 * _ROW_PAD, _RB)
+    wt = _round_up(two_n + 2 * _COL_PAD, 128)
+    npad = _round_up(n, 128) + 128  # lane margin for aligned-load + roll
 
     a_pad = _round_up(max(n_ang, 1), _ACH)
     sin_p = np.concatenate([sin_v, np.ones(a_pad - n_ang)]).astype(np.float32)
     cos_p = np.concatenate([cos_v, np.zeros(a_pad - n_ang)]).astype(np.float32)
-    if a_pad != n_ang:
-        g = jnp.pad(g, ((0, 0), (0, 0), (0, a_pad - n_ang), (0, 0)))
+    g = jnp.pad(g, ((0, 0), (0, 0), (0, a_pad - n_ang), (0, npad - n)))
 
     cap = float(two_n * (0.5 - 1e-5) + n)  # reference's sample clamp
+    sin_j, cos_j = jnp.asarray(sin_p), jnp.asarray(cos_p)
 
-    kernel = partial(
-        _grid_kernel,
-        n=n, m=m, cc=float(cc), coeff0=float(coeff0), cap=cap, wt=wt,
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(npairs, nr_ext // _RB, a_pad // _ACH),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 2, _ACH, n),
-                    lambda p, rb, ach, *_: (p, 0, ach, 0),
+    def call(g_chunk):
+        pch = g_chunk.shape[0]
+        kernel = partial(
+            _grid_kernel,
+            n=n, npad=npad, m=m, cc=float(cc), coeff0=float(coeff0),
+            cap=cap, wt=wt, npairs=pch,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(nr_ext // _RB, a_pad // _ACH),
+                in_specs=[
+                    pl.BlockSpec(
+                        (pch, 2, _ACH, npad),
+                        lambda rb, ach, *_: (0, 0, ach, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (pch, 2, _RB, wt),
+                    lambda rb, ach, *_: (0, 0, rb, 0),
                     memory_space=pltpu.VMEM,
                 ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, 2, _RB, wt),
-                lambda p, rb, ach, *_: (p, 0, rb, 0),
-                memory_space=pltpu.VMEM,
             ),
-        ),
-        out_shape=jax.ShapeDtypeStruct((npairs, 2, nr_ext, wt), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=_INTERPRET[0],
-    )(jnp.asarray(sin_p), jnp.asarray(cos_p), g)
+            out_shape=jax.ShapeDtypeStruct(
+                (pch, 2, nr_ext, wt), jnp.float32
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=_INTERPRET[0],
+        )(sin_j, cos_j, g_chunk)
+
+    if npairs <= _PCH:
+        return call(g)
+    outs = [call(g[p : p + _PCH]) for p in range(0, npairs, _PCH)]
+    return jnp.concatenate(outs, axis=0)
 
 
 _INTERPRET = [False]  # test hook: run the kernel in interpret mode
@@ -192,13 +228,19 @@ def _fold_margins(ext: jnp.ndarray, n: int) -> jnp.ndarray:
     ``mod(ell + n, 2n)`` indexing, ``fft_us_kernels.cu:11-42``)."""
     two_n = 2 * n
     rp, cp = _ROW_PAD, _COL_PAD
+    # explicit slice ends: ext may carry extra alignment padding beyond
+    # the wrap margins (rows to _RB blocks, columns to 128 lanes)
     core = ext[..., rp : rp + two_n, cp : cp + two_n]
     core = core.at[..., two_n - rp :, :].add(ext[..., :rp, cp : cp + two_n])
-    core = core.at[..., :rp, :].add(ext[..., rp + two_n :, cp : cp + two_n])
+    core = core.at[..., :rp, :].add(
+        ext[..., rp + two_n : 2 * rp + two_n, cp : cp + two_n]
+    )
     core = core.at[..., :, two_n - cp :].add(
         ext[..., rp : rp + two_n, :cp]
     )
-    core = core.at[..., :, :cp].add(ext[..., rp : rp + two_n, cp + two_n :])
+    core = core.at[..., :, :cp].add(
+        ext[..., rp : rp + two_n, cp + two_n : 2 * cp + two_n]
+    )
     return core
 
 

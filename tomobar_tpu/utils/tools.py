@@ -154,50 +154,50 @@ def normaliser(
 # ---------------------------------------------------------------------------
 
 
+def _first_last_above(profiles: np.ndarray, thr: np.ndarray):
+    """Per row of ``profiles`` (n, m): first and last index where the
+    profile exceeds its threshold; (0, m) when nothing does."""
+    above = profiles > thr[:, None]
+    any_above = above.any(axis=1)
+    m = profiles.shape[1]
+    first = np.where(any_above, above.argmax(axis=1), 0)
+    last = np.where(any_above, m - above[:, ::-1].argmax(axis=1), m)
+    return first, last
+
+
 def autocropper(data: np.ndarray, addbox: int, backgr_pix1: int) -> np.ndarray:
-    """Crop 3D projection data [Projections, detY, detX] using background
-    noise statistics from the vertical-mid side ROIs of each projection."""
-    backgr_pix2 = int(2.5 * backgr_pix1)
-    n_proj, det_v, det_h = np.shape(data)
+    """Crop 3D projection data [Projections, detY, detX] to the union
+    bounding box of the imaged object.
 
-    left = np.zeros(n_proj, dtype=int)
-    right = np.zeros(n_proj, dtype=int)
-    up = np.zeros(n_proj, dtype=int)
-    down = np.zeros(n_proj, dtype=int)
+    Same contract as the reference (``suppTools.py:267-361``): the
+    background level is estimated from two object-free strips of width
+    ``backgr_pix1`` at the left/right detector edges around the vertical
+    midline, and the crop box is padded by ``addbox`` pixels.  The bound
+    search itself is our own vectorised design: per projection the
+    row/column mean profiles are thresholded at the combined strip mean and
+    the first/last crossings taken (the reference instead walks outward
+    from the profile peak, which can cut off secondary objects)."""
+    data = np.asarray(data)
+    n_proj, det_v, det_h = data.shape
+    strip_v = int(2.5 * backgr_pix1)
+    mid = det_v // 2
+    lo, hi = max(mid - strip_v, 0), min(mid + strip_v, det_v)
 
-    for i in range(n_proj):
-        proj2d = data[i]
-        mid = det_v // 2
-        region_l = proj2d[mid - backgr_pix2 : mid + backgr_pix2, 0:backgr_pix1]
-        region_r = proj2d[mid - backgr_pix2 : mid + backgr_pix2, -1 - backgr_pix1 : -1]
-        val_mean = np.mean(region_l) + np.mean(region_r)
-        vert_sum = np.mean(proj2d, 1)
-        horiz_sum = np.mean(proj2d, 0)
-        lv = int((vert_sum == vert_sum.max()).argmax())
-        lh = int((horiz_sum == horiz_sum.max()).argmax())
-        min_v = 0 if lv == 0 else int((vert_sum[lv::-1] <= val_mean).argmax())
-        max_v = lv + 1 if lv == det_v - 1 else int((vert_sum[lv:-1] <= val_mean).argmax())
-        min_h = 0 if lh == 0 else int((horiz_sum[lh::-1] <= val_mean).argmax())
-        max_h = lh + 1 if lh == det_h - 1 else int((horiz_sum[lh:-1] <= val_mean).argmax())
-        if min_v != 0:
-            min_v = lv - min_v
-            if min_v - addbox >= 0:
-                min_v -= addbox
-        if max_v != det_v:
-            max_v = lv + max_v
-            if max_v + addbox < det_v:
-                max_v += addbox
-        if min_h != 0:
-            min_h = lh - min_h
-            if min_h - addbox >= 0:
-                min_h -= addbox
-        if max_h != det_h:
-            max_h = lh + max_h
-            if max_h + addbox < det_h:
-                max_h += addbox
-        left[i], right[i], up[i], down[i] = min_h, max_h, min_v, max_v
+    bg = (
+        data[:, lo:hi, :backgr_pix1].mean(axis=(1, 2))
+        + data[:, lo:hi, det_h - 1 - backgr_pix1 : det_h - 1].mean(axis=(1, 2))
+    )
+    row_prof = data.mean(axis=2)  # (n_proj, det_v)
+    col_prof = data.mean(axis=1)  # (n_proj, det_h)
 
-    return data[:, up.min() : down.max(), left.min() : right.max()]
+    top, bottom = _first_last_above(row_prof, bg)
+    left, right = _first_last_above(col_prof, bg)
+
+    up = max(int(top.min()) - addbox, 0)
+    down = min(int(bottom.max()) + addbox, det_v)
+    lft = max(int(left.min()) - addbox, 0)
+    rgt = min(int(right.max()) + addbox, det_h)
+    return data[:, up:down, lft:rgt]
 
 
 # ---------------------------------------------------------------------------
