@@ -80,3 +80,123 @@ def test_dryrun_multichip():
         """
     )
     assert "dryrun_multichip ok" in out
+
+
+def test_sharded_os_subsets_and_per_angle_cor():
+    """fp_sub/bp_sub over OS subsets and per-angle CoR match the
+    single-device Projector on every mesh split."""
+    out = run_in_cpu_mesh_subprocess(
+        """
+        import numpy as np, jax, jax.numpy as jnp
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tomobar_tests")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        from tomobar_tpu.geometry import Geometry
+        from tomobar_tpu.ops.projector import Projector
+        from tomobar_tpu.parallel.sharding import make_mesh, ShardedProjector
+
+        N, nz, A = 32, 8, 40
+        rng = np.random.default_rng(1)
+        angles = np.linspace(0, np.pi, A, endpoint=False)
+        cor = np.linspace(-1.5, 1.5, A)
+        geom = Geometry(detectors_x=N, detectors_y=nz, angles=angles,
+                        center_rot_offset=cor, recon_size=N, os_number=4)
+        vol = rng.standard_normal((nz, N, N)).astype(np.float32)
+        ref = Projector(geom)
+        mesh = make_mesh(2, 4)
+        sp = ShardedProjector(geom, mesh)
+        v = sp.device_put_vol(jnp.asarray(vol))
+        for s in range(len(ref.subset_indices)):
+            fp_ref = np.asarray(ref.fp_sub(jnp.asarray(vol), s))
+            fp_s = np.asarray(jax.jit(lambda x, s=s: sp.fp_sub(x, s))(v))
+            assert np.abs(fp_s - fp_ref).max() < 1e-4, s
+            sub = rng.standard_normal(fp_ref.shape).astype(np.float32)
+            bp_ref = np.asarray(ref.bp_sub(jnp.asarray(sub), s))
+            bp_s = np.asarray(jax.jit(lambda x, s=s: sp.bp_sub(x, s))(jnp.asarray(sub)))
+            assert np.abs(bp_s - bp_ref).max() < 2e-4, s
+        print("OS_COR_OK")
+        """
+    )
+    assert "OS_COR_OK" in out
+
+
+_DIST_WORKER = """
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tomobar_tests")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import jax.numpy as jnp
+
+from tomobar_tpu.parallel.sharding import (
+    distributed_init, make_mesh, ShardedProjector,
+)
+
+coord, pid = sys.argv[1], int(sys.argv[2])
+distributed_init(coordinator_address=coord, num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, len(jax.devices())
+
+from tomobar_tpu.geometry import Geometry
+from tomobar_tpu.ops.projector import Projector
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+N, nz, A = 32, 8, 20
+rng = np.random.default_rng(0)
+angles = np.linspace(0, np.pi, A, endpoint=False)
+geom = Geometry(detectors_x=N, detectors_y=nz, angles=angles, recon_size=N)
+vol = rng.standard_normal((nz, N, N)).astype(np.float32)
+fp_ref = np.asarray(Projector(geom).fp(jnp.asarray(vol)))
+
+# DCN("z" across the 2 processes) x ICI("angles" within each)
+mesh = make_mesh(4, 2)
+sp = ShardedProjector(geom, mesh)
+v = jax.make_array_from_callback(
+    vol.shape, NamedSharding(mesh, sp.vol_spec), lambda idx: vol[idx]
+)
+fp = jax.jit(sp.fp)(v)
+for shard in fp.addressable_shards:
+    got = np.asarray(shard.data)
+    want = fp_ref[shard.index]
+    assert np.abs(got - want).max() < 1e-4, shard.index
+print(f"DIST_OK {pid}", flush=True)
+"""
+
+
+def test_two_process_distributed_cpu():
+    """True multi-process jax.distributed run: 2 processes x 4 CPU devices,
+    DCN z axis across processes, local-shard equivalence per process."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _DIST_WORKER, coord, str(pid)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for pid, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"proc {pid} failed:\n{out}\n{err}"
+        assert f"DIST_OK {pid}" in out

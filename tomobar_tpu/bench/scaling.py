@@ -1,0 +1,97 @@
+"""Multi-device scaling-efficiency benchmark (BASELINE north-star:
+>= 80% scaling efficiency to 2 hosts at RMSE parity).
+
+Weak scaling over the z (slab) axis: per-device work is held constant
+(``nz_per_device`` slabs each) while the mesh grows, so ideal scaling is a
+flat time-per-iteration and efficiency = t(1 device) / t(N devices).
+Parallel-beam slabs are independent (the reference's blockwise-consistency
+invariant), so the z axis carries no solver collectives and the measured
+loss is pure runtime/dispatch overhead — the honest proxy for the DCN axis
+on real pods, where this script runs unchanged under
+``jax.distributed`` (see ``parallel.sharding.distributed_init``).
+
+Run:  python -m tomobar_tpu.bench.scaling
+CPU smoke: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+           TOMOBAR_BENCH_N=256 python -m tomobar_tpu.bench.scaling
+"""
+
+import json
+import os
+
+import numpy as np
+
+
+def run(N=None, nz_per_device=None, nproj=None, os_number=None, tv_iters=None):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tomobar_bench")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from jax.sharding import NamedSharding
+    from tomobar_tpu.bench.harness import time_fn
+    from tomobar_tpu.geometry import Geometry
+    from tomobar_tpu.parallel.sharding import ShardedProjector, make_mesh
+    from tomobar_tpu.regularisers import PD_TV
+
+    N = N or int(os.environ.get("TOMOBAR_BENCH_N", 2560))
+    nz_per_device = nz_per_device or int(os.environ.get("TOMOBAR_BENCH_NZ", 8))
+    nproj = nproj or int(os.environ.get("TOMOBAR_BENCH_NPROJ", 1801))
+    os_number = os_number or int(os.environ.get("TOMOBAR_BENCH_OS", 10))
+    tv_iters = tv_iters or int(os.environ.get("TOMOBAR_BENCH_TV_ITERS", 20))
+
+    n_dev = len(jax.devices())
+    angles = np.linspace(0, np.pi, nproj, endpoint=False)
+
+    def iter_rate(n_z_devices: int) -> float:
+        nz = nz_per_device * n_z_devices
+        geom = Geometry(
+            detectors_x=N, detectors_y=nz, angles=angles, recon_size=N,
+            os_number=os_number,
+        )
+        mesh = make_mesh(n_z_devices, 1, devices=jax.devices()[:n_z_devices])
+        sp = ShardedProjector(geom, mesh)
+        key = jax.random.PRNGKey(0)
+        sino = jax.device_put(
+            jax.random.uniform(key, (nz, nproj, N), dtype=jnp.float32),
+            NamedSharding(mesh, sp.vol_spec),
+        )
+        x = jax.device_put(
+            jnp.zeros((nz, N, N), dtype=jnp.float32),
+            NamedSharding(mesh, sp.vol_spec),
+        )
+        L_inv = jnp.float32(1.0 / 5000.0)
+
+        def outer_iter(x, sino):
+            for s in range(len(sp.subset_indices)):
+                res = sp.fp_sub(x, s) - sp.sino_subset(sino, s)
+                x = jnp.maximum(x - L_inv * sp.bp_sub(res, s), 0.0)
+                x = PD_TV(x, 1e-4, tv_iters, 0, 1, 12.0)
+            return x
+
+        step = jax.jit(outer_iter)  # no donation: time_fn re-feeds x
+        dt = time_fn(step, x, sino, warmup=1, reps=3)
+        return 1.0 / dt
+
+    r1 = iter_rate(1)
+    rN = iter_rate(n_dev)
+    eff = rN / r1  # weak scaling: per-device work constant -> ideal 1.0
+    print(
+        json.dumps(
+            {
+                "metric": f"weak-scaling efficiency z-axis 1->{n_dev} devices "
+                f"({nproj}x{nz_per_device}/dev x{N}, FISTA-OS{os_number}-TV)",
+                "value": round(eff, 4),
+                "unit": "efficiency",
+                "iter_s_1dev": round(r1, 4),
+                f"iter_s_{n_dev}dev": round(rN, 4),
+                "vs_baseline": round(eff / 0.8, 4),
+            }
+        )
+    )
+    return eff
+
+
+if __name__ == "__main__":
+    run()

@@ -112,10 +112,13 @@ def _fp_driven(
     cor_v: np.ndarray,
     det_x: int,
     y_block: Optional[int] = None,
+    varying: tuple = (),
 ) -> jnp.ndarray:
     """Joseph x-driven FP for angles with |cos| >= |sin|.
 
     vol: (nz, ny, nx) float32. Returns (nz, n_ang, det_x).
+    ``varying``: mesh axis names to mark the scan carry as varying over
+    when called inside shard_map (keeps check_vma enabled there).
     """
     nz, ny, nx = vol.shape
     n_ang = int(np.size(cos_v))
@@ -160,6 +163,8 @@ def _fp_driven(
         return acc + jnp.sum(contrib, axis=2), None
 
     acc0 = jnp.zeros((nz, n_ang, det_x), dtype=dtype)
+    if varying:
+        acc0 = jax.lax.pvary(acc0, varying)
     acc, _ = jax.lax.scan(body, acc0, jnp.arange(n_blocks))
     return acc * jnp.abs(inv_c)[None, :, None]
 
@@ -172,10 +177,12 @@ def _bp_driven(
     ny: int,
     nx: int,
     ang_block: Optional[int] = None,
+    varying: tuple = (),
 ) -> jnp.ndarray:
     """Exact adjoint of :func:`_fp_driven`.
 
     sino: (nz, A, det_x) float32. Returns (nz, ny, nx).
+    ``varying``: mesh axes for the scan carry inside shard_map.
     """
     nz, n_ang, det_x = sino.shape
     dtype = sino.dtype
@@ -230,6 +237,8 @@ def _bp_driven(
         return acc + part, None
 
     acc0 = jnp.zeros((nz, ny, nx), dtype=dtype)
+    if varying:
+        acc0 = jax.lax.pvary(acc0, varying)
     acc, _ = jax.lax.scan(body, acc0, jnp.arange(n_blocks))
     return acc
 
