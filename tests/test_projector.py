@@ -167,3 +167,77 @@ class TestOrderedSubsets:
             [2, 6, 10],
             [3, 7, 11],
         ]
+
+
+class TestVerticalCoR:
+    """Per-angle [horizontal, vertical] CoR (reference vector geometry
+    supp/funcs.py:45-65: d0 = [cor_h, 0, cor_v]).  The vertical component
+    shifts the detector rows along detY per angle."""
+
+    def _geoms(self, N=32, nz=6, n_ang=15):
+        import numpy as np
+        from tomobar_tpu.geometry import Geometry
+
+        angles = np.linspace(0.0, np.pi, n_ang, endpoint=False)
+        cor2 = np.stack(
+            [np.linspace(-1.0, 1.0, n_ang), np.linspace(-1.5, 1.5, n_ang)],
+            axis=1,
+        )
+        g2 = Geometry(
+            detectors_x=N, detectors_y=nz, angles=angles,
+            center_rot_offset=cor2, recon_size=N,
+        )
+        g1 = Geometry(
+            detectors_x=N, detectors_y=nz, angles=angles,
+            center_rot_offset=cor2[:, 0], recon_size=N,
+        )
+        return g1, g2
+
+    def test_integer_vshift_matches_rolled_rows(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from tomobar_tpu.geometry import Geometry
+        from tomobar_tpu.ops.projector import radon_fp
+
+        N, nz, n_ang = 32, 6, 8
+        angles = np.linspace(0.0, np.pi, n_ang, endpoint=False)
+        cor2 = np.zeros((n_ang, 2))
+        cor2[:, 1] = 2.0  # integer vertical shift for every angle
+        g0 = Geometry(detectors_x=N, detectors_y=nz, angles=angles,
+                      recon_size=N)
+        gv = Geometry(detectors_x=N, detectors_y=nz, angles=angles,
+                      center_rot_offset=cor2, recon_size=N)
+        rng = np.random.default_rng(0)
+        vol = jnp.asarray(rng.standard_normal((nz, N, N)), dtype=jnp.float32)
+        p0 = np.asarray(radon_fp(vol, g0))
+        pv = np.asarray(radon_fp(vol, gv))
+        # detector row v sees volume height v + cor_v
+        np.testing.assert_allclose(pv[: nz - 2], p0[2:], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(pv[nz - 2 :], 0.0, atol=1e-6)
+
+    def test_adjointness_with_vertical_cor(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from tomobar_tpu.ops.projector import radon_bp, radon_fp
+
+        _, g2 = self._geoms()
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((6, 32, 32)), dtype=jnp.float32)
+        y = jnp.asarray(rng.standard_normal((6, 15, 32)), dtype=jnp.float32)
+        lhs = float(jnp.vdot(radon_fp(x, g2), y))
+        rhs = float(jnp.vdot(x, radon_bp(y, g2)))
+        assert lhs == pytest.approx(rhs, rel=1e-5)
+
+    def test_horizontal_unchanged_by_vertical_component(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from tomobar_tpu.ops.projector import radon_fp
+
+        g1, g2 = self._geoms()
+        rng = np.random.default_rng(1)
+        # z-constant volume: vertical shifts are invisible away from edges
+        sl = rng.standard_normal((1, 32, 32)).astype(np.float32)
+        vol = jnp.asarray(np.repeat(sl, 6, axis=0))
+        p1 = np.asarray(radon_fp(vol, g1))
+        p2 = np.asarray(radon_fp(vol, g2))
+        np.testing.assert_allclose(p2[2:4], p1[2:4], rtol=1e-4, atol=1e-5)

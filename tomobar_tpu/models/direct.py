@@ -171,6 +171,13 @@ class RecToolsDIR:
             _cutoff = 0.35 if cutoff is None else cutoff
             # to canonical (detY, angles, detX)
             data = jnp.swapaxes(data, 0, 1)
+            if data.shape[1] != self.geom.n_angles:
+                raise ValueError(
+                    f"FBP expects 3D data as [angles, detY, detX] (got "
+                    f"{tuple(jnp.swapaxes(data, 0, 1).shape)} for "
+                    f"{self.geom.n_angles} angles; pass "
+                    f"data_axes_labels_order to reorder)"
+                )
             data = apply_horiz_detector_padding(data, self.detectors_x_pad)
             rec = self.Atools.bp(_filter(data))
         rec = check_kwargs(

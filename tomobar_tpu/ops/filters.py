@@ -282,12 +282,11 @@ def _wint(n: int, t: np.ndarray) -> np.ndarray:
     return w
 
 
-def calc_filter(n: int, filter_type: str = "shepp", cutoff_freq: float = 1.0) -> jnp.ndarray:
-    """LPRec filter bank on the rfft half-grid (length n//2+1), float32.
-
-    Mirrors ``tomobar/fourier.py:111-159`` including the apodisation windows
-    and the doubled DC term.
-    """
+def calc_filter_np(
+    n: int, filter_type: str = "shepp", cutoff_freq: float = 1.0
+) -> np.ndarray:
+    """Host-numpy variant of :func:`calc_filter` (safe to call inside a
+    jit trace: the filter depends only on static geometry)."""
     if filter_type not in FILTER_TYPES:
         raise ValueError(
             f"Unknown filter '{filter_type}', choose one of {FILTER_TYPES}"
@@ -297,7 +296,7 @@ def calc_filter(n: int, filter_type: str = "shepp", cutoff_freq: float = 1.0) ->
 
     if filter_type == "none":
         wfa = n * cutoff_freq + t * 0
-        return jnp.asarray(wfa, dtype=jnp.float32)
+        return np.asarray(wfa, dtype=np.float32)
     base = n * cutoff_freq * _wint(12, t)
     if filter_type == "ramp":
         wfa = base
@@ -320,4 +319,15 @@ def calc_filter(n: int, filter_type: str = "shepp", cutoff_freq: float = 1.0) ->
 
     wfa = 2 * wfa * (wfa >= 0)
     wfa[0] *= 2
-    return jnp.asarray(wfa, dtype=jnp.float32)
+    return np.asarray(wfa, dtype=np.float32)
+
+
+def calc_filter(
+    n: int, filter_type: str = "shepp", cutoff_freq: float = 1.0
+) -> jnp.ndarray:
+    """LPRec filter bank on the rfft half-grid (length n//2+1), float32.
+
+    Mirrors ``tomobar/fourier.py:111-159`` including the apodisation windows
+    and the doubled DC term.
+    """
+    return jnp.asarray(calc_filter_np(n, filter_type, cutoff_freq))

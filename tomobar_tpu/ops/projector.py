@@ -255,9 +255,44 @@ def _angle_partition(angles: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return np.where(xdrive)[0], np.where(~xdrive)[0]
 
 
+
+# ---------------------------------------------------------------------------
+# vertical per-angle CoR: detector-centre z shift (reference vector geometry
+# supp/funcs.py:45-65, d0 = [cor_h, 0, cor_v] -> detector row v sees volume
+# height v + cor_v).  Applied as a per-angle linear-interp shift along detY
+# around either projector backend; zero-fill outside keeps the FP/BP pair an
+# exact adjoint (shift by +dz transposes to shift by -dz).
+# ---------------------------------------------------------------------------
+
+
+def _vshift_sino(sino: jnp.ndarray, dz: np.ndarray) -> jnp.ndarray:
+    """out[v, a, t] = lin-interp of sino at (v + dz[a], a, t), zero outside."""
+    nz = sino.shape[0]
+    dzj = jnp.asarray(dz, dtype=sino.dtype)
+    kf = jnp.floor(dzj)
+    f = (dzj - kf)[None, :, None]
+    i0 = jnp.arange(nz)[:, None] + kf.astype(jnp.int32)[None, :]  # (nz, A)
+    valid0 = ((i0 >= 0) & (i0 < nz))[:, :, None]
+    valid1 = ((i0 + 1 >= 0) & (i0 + 1 < nz))[:, :, None]
+    g0 = jnp.take_along_axis(sino, jnp.clip(i0, 0, nz - 1)[:, :, None], axis=0)
+    g1 = jnp.take_along_axis(
+        sino, jnp.clip(i0 + 1, 0, nz - 1)[:, :, None], axis=0
+    )
+    return (1.0 - f) * jnp.where(valid0, g0, 0.0) + f * jnp.where(
+        valid1, g1, 0.0
+    )
+
+
 def radon_fp(vol: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
     """Forward-project a volume.  vol (nz, n, n) or (n, n) -> sino
     (nz, n_angles, det_x_total) or (n_angles, det_x_total)."""
+    dzv = geom.cor_vertical
+    if dzv is not None and vol.ndim == 3 and np.any(dzv):
+        return _vshift_sino(_radon_fp_core(vol, geom), dzv)
+    return _radon_fp_core(vol, geom)
+
+
+def _radon_fp_core(vol: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
     if _use_pallas():
         from tomobar_tpu.ops.projector_pallas import radon_fp_pallas
 
@@ -292,6 +327,13 @@ def radon_bp(sino: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
     sino (nz, n_angles, det_x_total) or 2D -> vol (nz, n, n) or (n, n).
     The output slice size is ``geom.recon_size``.
     """
+    dzv = geom.cor_vertical
+    if dzv is not None and sino.ndim == 3 and np.any(dzv):
+        sino = _vshift_sino(sino, -np.asarray(dzv))
+    return _radon_bp_core(sino, geom)
+
+
+def _radon_bp_core(sino: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
     if _use_pallas():
         from tomobar_tpu.ops.projector_pallas import radon_bp_pallas
 

@@ -49,7 +49,7 @@ from tomobar_tpu.ops.fft_real import (
     fft_pairs,
     ifft2_pairs,
 )
-from tomobar_tpu.ops.filters import calc_filter
+from tomobar_tpu.ops.filters import calc_filter_np
 from tomobar_tpu.utils.tools import check_kwargs, data_dims_swapper
 
 __all__ = ["fourier_inv", "usfft_grid", "usfft_grid_dispatch"]
@@ -111,7 +111,7 @@ def _fbp_filter_stage(
     unpad_m = ow // 2 - width // 2
     unpad_p = ow // 2 + width // 2
 
-    half = np.asarray(calc_filter(ow, filter_type, cutoff))
+    half = calc_filter_np(ow, filter_type, cutoff)
     t = np.fft.fftfreq(ow)
     w_full = np.empty(ow, dtype=np.complex128)
     w_full[: ow // 2 + 1] = half
