@@ -1,17 +1,24 @@
-"""Benchmark harness: FISTA-OS-TV 3D iterations/s on the flagship config.
+"""Benchmark harness: all five BASELINE.json configs on the real chip.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+"extra_configs": {...}}.  The primary metric is the flagship 3D
+FISTA-OS-TV (PWLS) outer-iteration rate at the reference's disabled
+perf-test shape 1801 angles x 8 slices x 2560 detX
+(tests/test_RecToolsDIRCuPy.py:471-540); the other four BASELINE configs
+ride in "extra_configs".
 
-The reference publishes no quantitative numbers (BASELINE.md: "published": {});
-the driver-defined north-star is FISTA-OS-TV iterations/s on a 2560^2 x 8
-TomoPhantom-style 3D problem at GPU-parity wall-clock.  ``vs_baseline`` is
-reported against an estimated ASTRA+CuPy FISTA-OS outer-iteration time on a
-data-center GPU for the same geometry (~1.0 s/outer-iteration for
-1801 angles x 2560^2 x 8 slices, extrapolated from ToMoBAR demo timings);
-update when a measured reference number becomes available.
+Baseline denominators:
+* The reference publishes no numbers (BASELINE.md: "published": {}).  The
+  flagship ``vs_baseline`` divides by the driver-defined north-star of
+  1.0 outer-iteration/s ("GPU-parity wall-clock/iteration") — a TARGET,
+  not a measured reference; values > 1 beat it.
+* ``fourier_inv_vs_fbp`` is a measured internal ratio: the reference's
+  qualitative claim is "FOURIER_INV significantly faster than FBP"
+  (CHANGELOG.md:64), so the ratio > 1 reproduces the property on TPU.
 
-Falls back to a smaller config (and finally to an error record) rather than
-dying without output — the driver keys on the JSON line.
+Timing: two fori_loop lengths per config, difference cancels dispatch +
+readback latency (block_until_ready is not a completion barrier through
+the axon TPU tunnel — see tomobar_tpu/bench/harness.py).
 
 Env overrides: TOMOBAR_BENCH_N, _NZ, _NPROJ, _OS, _ITERS, _TV_ITERS.
 """
@@ -21,38 +28,46 @@ import os
 import timeit
 import traceback
 
-import numpy as np
 
-
-def run_config(N, nz, nproj, os_number, iters, tv_iters):
+def _timed_loop(step_fn, k_lo, k_hi, *args):
+    """Seconds per iteration via the two-length fori_loop difference."""
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tomobar_bench")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from tomobar_tpu.bench.harness import device_sync
+
+    def loop(k):
+        def run(*a):
+            return jax.lax.fori_loop(0, k, lambda i, c: step_fn(c), a)
+
+        return jax.jit(run)
+
+    f_lo, f_hi = loop(k_lo), loop(k_hi)
+    device_sync(f_lo(*args))  # compile + warm
+    device_sync(f_hi(*args))
+    t0 = timeit.default_timer()
+    device_sync(f_lo(*args))
+    t_lo = timeit.default_timer() - t0
+    t0 = timeit.default_timer()
+    device_sync(f_hi(*args))
+    t_hi = timeit.default_timer() - t0
+    return max(t_hi - t_lo, 1e-9) / (k_hi - k_lo)
+
+
+def _fista_step_builder(P, sino, tv_iters, weights=None):
     import jax.numpy as jnp
 
-    from tomobar_tpu.geometry import Geometry
-    from tomobar_tpu.ops.projector import Projector
     from tomobar_tpu.regularisers import PD_TV
 
-    angles = np.linspace(0, np.pi, nproj, endpoint=False)
-    geom = Geometry(
-        detectors_x=N,
-        detectors_y=nz,
-        angles=angles,
-        recon_size=N,
-        os_number=os_number,
-    )
-    P = Projector(geom)
     n_sub = len(P.subset_indices)
     L_inv = jnp.float32(1.0 / 5000.0)
 
-    def fista_iter(x, x_t, t, sino):
-        """One OUTER FISTA iteration: full OS sweep + PD-TV prox."""
+    def fista_iter(carry):
+        x, x_t, t = carry
         for s in range(n_sub):
             x_old, t_old = x, t
             res = P.fp_sub(x_t, s) - P.sino_subset(sino, s)
+            if weights is not None:
+                res = res * P.sino_subset(weights, s)
             grad = P.bp_sub(res, s)
             x = jnp.maximum(x_t - L_inv * grad, 0.0)
             x = PD_TV(x, 1e-4, tv_iters, 0, 1, 12.0)
@@ -60,41 +75,105 @@ def run_config(N, nz, nproj, os_number, iters, tv_iters):
             x_t = x + ((t_old - 1.0) / t) * (x - x_old)
         return x, x_t, t
 
-    from tomobar_tpu.bench.harness import device_sync
+    return fista_iter
 
-    def k_iters(k):
-        """jit: k outer iterations in one executable (lax.fori_loop)."""
 
-        def run(x, x_t, t, sino):
-            def body(_, carry):
-                return fista_iter(*carry, sino)
+def bench_fista3d(N, nz, nproj, os_number, iters, tv_iters, pwls=True):
+    """Config 3 (primary): 3D FISTA-OS-TV with PWLS weights."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-            return jax.lax.fori_loop(0, k, body, (x, x_t, t))
+    from tomobar_tpu.geometry import Geometry
+    from tomobar_tpu.ops.projector import Projector
 
-        return jax.jit(run)
-
+    angles = np.linspace(0, np.pi, nproj, endpoint=False)
+    geom = Geometry(
+        detectors_x=N, detectors_y=nz, angles=angles, recon_size=N,
+        os_number=os_number,
+    )
+    P = Projector(geom)
     key = jax.random.PRNGKey(0)
     sino = jax.random.uniform(key, (nz, nproj, N), dtype=jnp.float32)
+    w = jnp.clip(sino, 1e-6, None) / jnp.max(sino) if pwls else None
+    step = _fista_step_builder(P, sino, tv_iters, weights=w)
     x = jnp.zeros((nz, N, N), dtype=jnp.float32)
-    x_t = jnp.zeros((nz, N, N), dtype=jnp.float32)
     t = jnp.float32(1.0)
-
-    # Two loop lengths; the difference cancels dispatch + readback
-    # latency (block_until_ready is NOT a barrier on remote-attached
-    # devices -- see bench.harness.device_sync).
-    k_lo, k_hi = iters, 3 * iters
-    f_lo, f_hi = k_iters(k_lo), k_iters(k_hi)
-    device_sync(f_lo(x, x_t, t, sino))  # compile + warm
-    device_sync(f_hi(x, x_t, t, sino))
-
-    t0 = timeit.default_timer()
-    device_sync(f_lo(x, x_t, t, sino))
-    t_lo = timeit.default_timer() - t0
-    t0 = timeit.default_timer()
-    device_sync(f_hi(x, x_t, t, sino))
-    t_hi = timeit.default_timer() - t0
-    dt = max(t_hi - t_lo, 1e-9) / (k_hi - k_lo)
+    dt = _timed_loop(step, iters, 3 * iters, x, x, t)
     return 1.0 / dt
+
+
+def bench_fista2d(N, nproj, os_number, iters, tv_iters):
+    """Config 2: 2D FISTA-OS-TV (LS), single slice."""
+    return bench_fista3d(N, 1, nproj, os_number, iters, tv_iters, pwls=False)
+
+
+def bench_admm3d(N, nz, nproj, iters, tv_iters):
+    """Config 4: 3D ADMM warm-start + relaxation + OS=24 (production
+    pattern: Demos/RealData.py:228-235)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tomobar_tpu.geometry import Geometry
+    from tomobar_tpu.ops.projector import Projector
+    from tomobar_tpu.regularisers import PD_TV
+
+    angles = np.linspace(0, np.pi, nproj, endpoint=False)
+    geom = Geometry(
+        detectors_x=N, detectors_y=nz, angles=angles, recon_size=N,
+        os_number=24,
+    )
+    P = Projector(geom)
+    key = jax.random.PRNGKey(1)
+    sino = jax.random.uniform(key, (nz, nproj, N), dtype=jnp.float32)
+    n_sub = len(P.subset_indices)
+    rho = jnp.float32(1.0)
+    tau = jnp.float32(0.9 / (5000.0 + 1.0))
+    alpha = jnp.float32(1.6)
+
+    def admm_iter(carry):
+        x, z, u = carry
+        for s in range(n_sub):
+            z_old = z
+            res = P.fp_sub(z, s) - P.sino_subset(sino, s)
+            grad = P.bp_sub(res, s) + rho * (z - x + u)
+            z = jnp.maximum(z - tau * grad, 0.0)
+            z = (1.0 - alpha) * z_old + alpha * z
+            x = PD_TV(z + u, 1e-4, tv_iters, 0, 1, 12.0)
+        u = u + (z - x)
+        return x, z, u
+
+    # warm start: one FBP-scale volume (content irrelevant for timing)
+    x0 = jax.random.uniform(key, (nz, N, N), dtype=jnp.float32)
+    dt = _timed_loop(admm_iter, iters, 3 * iters, x0, x0, jnp.zeros_like(x0))
+    return 1.0 / dt
+
+
+def bench_direct(N, nz, nproj):
+    """Configs 1 + 5: device FBP (3D and 2D) and FOURIER_INV wall-clock."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tomobar_tpu import RecToolsDIRCuPy
+    from tomobar_tpu.bench.harness import time_fn
+
+    angles = np.linspace(0, np.pi, nproj, endpoint=False).astype(np.float32)
+    rt = RecToolsDIRCuPy(N, 0, nz, 0.0, angles, N)
+    data = jax.random.uniform(
+        jax.random.PRNGKey(0), (nz, nproj, N), dtype=jnp.float32
+    )
+    fi = jax.jit(lambda d: rt.FOURIER_INV(d))
+    fbp = jax.jit(lambda d: rt.FBP(jnp.swapaxes(d, 0, 1)))
+    t_fi = time_fn(fi, data, reps=5)
+    t_fbp = time_fn(fbp, data, reps=5)
+
+    rt2 = RecToolsDIRCuPy(N, 0, None, 0.0, angles, N)
+    data2 = data[0]
+    fbp2 = jax.jit(lambda d: rt2.FBP(jnp.swapaxes(d, 0, 1)))
+    t_fbp2 = time_fn(fbp2, data2, reps=10)
+    return t_fi, t_fbp, t_fbp2
 
 
 def main():
@@ -102,37 +181,57 @@ def main():
     nz = int(os.environ.get("TOMOBAR_BENCH_NZ", 8))
     nproj = int(os.environ.get("TOMOBAR_BENCH_NPROJ", 1801))
     os_number = int(os.environ.get("TOMOBAR_BENCH_OS", 10))
-    iters = int(os.environ.get("TOMOBAR_BENCH_ITERS", 3))
+    iters = int(os.environ.get("TOMOBAR_BENCH_ITERS", 2))
     tv_iters = int(os.environ.get("TOMOBAR_BENCH_TV_ITERS", 20))
 
-    # estimated reference (ASTRA+CuPy on data-center GPU): ~1.0 s / outer
-    # iteration for the full config => 1.0 it/s (no published baseline)
-    baseline_its_per_s = 1.0
-    configs = [
-        (N, nz, nproj, os_number, iters, tv_iters, baseline_its_per_s, ""),
-        # fallback: quarter-size problem; the reference-estimate scales
-        # roughly with N^2 (per-slice work), so ~16x the iteration rate
-        (N // 4, nz, nproj // 4 + 1, os_number, iters, tv_iters,
-         baseline_its_per_s * 16.0, " [fallback-small]"),
-    ]
-    for (cN, cnz, cnp, cos, cit, ctv, base, tag) in configs:
-        try:
-            its_per_s = run_config(cN, cnz, cnp, cos, cit, ctv)
-            print(
-                json.dumps(
-                    {
-                        "metric": f"FISTA-OS{cos}-TV outer iterations/s "
-                        f"({cnp}x{cnz}x{cN}, TV{ctv}){tag}",
-                        "value": round(its_per_s, 4),
-                        "unit": "iter/s",
-                        "vs_baseline": round(its_per_s / base, 4),
-                    }
-                )
+    extra = {}
+
+    try:
+        its3d = bench_fista3d(N, nz, nproj, os_number, iters, tv_iters)
+    except Exception:
+        traceback.print_exc()
+        its3d = None
+
+    try:
+        t_fi, t_fbp, t_fbp2 = bench_direct(N, nz, nproj)
+        extra["fourier_inv_ms"] = round(t_fi * 1e3, 2)
+        extra["fbp3d_ms"] = round(t_fbp * 1e3, 2)
+        extra["fbp2d_ms"] = round(t_fbp2 * 1e3, 2)
+        # reference property (CHANGELOG.md:64): FOURIER_INV faster than FBP
+        extra["fourier_inv_vs_fbp"] = round(t_fbp / t_fi, 3)
+    except Exception:
+        traceback.print_exc()
+
+    try:
+        extra["fista2d_iter_s"] = round(
+            bench_fista2d(N, nproj, os_number, iters, tv_iters), 4
+        )
+    except Exception:
+        traceback.print_exc()
+
+    try:
+        extra["admm3d_os24_iter_s"] = round(
+            bench_admm3d(N, nz, nproj, iters, tv_iters), 4
+        )
+    except Exception:
+        traceback.print_exc()
+
+    if its3d is not None:
+        print(
+            json.dumps(
+                {
+                    "metric": f"FISTA-OS{os_number}-TV-PWLS outer iterations/s "
+                    f"({nproj}x{nz}x{N}, TV{tv_iters})",
+                    "value": round(its3d, 4),
+                    "unit": "iter/s",
+                    # north-star target 1.0 it/s (GPU-parity), not a
+                    # measured reference (none published)
+                    "vs_baseline": round(its3d / 1.0, 4),
+                    "extra_configs": extra,
+                }
             )
-            return
-        except Exception:
-            traceback.print_exc()
-            continue
+        )
+        return
     print(
         json.dumps(
             {
@@ -140,6 +239,7 @@ def main():
                 "value": 0.0,
                 "unit": "iter/s",
                 "vs_baseline": 0.0,
+                "extra_configs": extra,
             }
         )
     )

@@ -298,3 +298,38 @@ class TestClassicFilterBank:
         rt2 = RecToolsDIR(N, 0, None, 0.0, angles180, N)
         rec2 = np.asarray(rt2.FBP(sino3d[0], filter_type="hann"))
         np.testing.assert_allclose(rec3[0], rec2, rtol=1e-4, atol=1e-5)
+
+
+class TestFourierInvMemoryBounded:
+    """Memory-tuning kwargs map to exact z-chunked execution
+    (reference methodsDIR_CuPy.py:179-237 min_mem_usage/chunk loops)."""
+
+    def test_chunk_count_exact(self, fourier_problem):
+        sino = fourier_problem["sino"]
+        rt = fourier_problem["rt"]
+        full = np.asarray(rt.FOURIER_INV(sino, filter_type="shepp"))
+        chunked = np.asarray(
+            rt.FOURIER_INV(sino, filter_type="shepp", chunk_count=3)
+        )
+        np.testing.assert_allclose(chunked, full, rtol=1e-4, atol=1e-5)
+
+    def test_min_mem_usage_with_budget(self, fourier_problem):
+        sino = fourier_problem["sino"][:3]  # odd detY too
+        rt = RecToolsDIRCuPy(
+            fourier_problem["N"], 0, 3, 0.0,
+            fourier_problem["rt"].geom.angles, fourier_problem["N"],
+        )
+        full = np.asarray(rt.FOURIER_INV(sino, filter_type="shepp"))
+        bounded = np.asarray(
+            rt.FOURIER_INV(
+                sino, filter_type="shepp", min_mem_usage_ifft2=True,
+                mem_budget_gb=0.002,  # forces multiple chunks at N=64
+            )
+        )
+        np.testing.assert_allclose(bounded, full, rtol=1e-4, atol=1e-5)
+
+    def test_invalid_chunk_count_falls_back(self, fourier_problem):
+        rec = fourier_problem["rt"].FOURIER_INV(
+            fourier_problem["sino"], filter_type="shepp", chunk_count=-2
+        )
+        assert np.isfinite(np.asarray(rec)).all()

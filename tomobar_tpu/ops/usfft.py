@@ -277,13 +277,45 @@ def _unpad_mul_phi(
     return out[:unpad_z]
 
 
+def _fourier_inv_memory_chunks(
+    nz: int, n: int, kwargs: dict
+) -> int:
+    """Number of z-slice chunks for memory-bounded execution.
+
+    Honours the reference's memory-tuning kwargs (``methodsDIR_CuPy.py:
+    179-237``): an explicit ``chunk_count`` wins; ``min_mem_usage_filter``
+    / ``min_mem_usage_ifft2`` True selects a chunk count that keeps the
+    dominant transient — the two (pairs, 2, ~2n, ~2n) extended grids plus
+    the ifft2 working set, ~5 grid-sized f32 buffers — under
+    ``mem_budget_gb`` (default 8, half a v5e's HBM).  Launch-shape-only
+    kwargs (block_dim*, *_chunk_count) remain accepted and ignored.
+    """
+    chunk_count = kwargs.get("chunk_count")
+    if chunk_count is not None:
+        if not isinstance(chunk_count, int) or chunk_count < 1:
+            print(f"Invalid chunk count: {chunk_count}. Set to 1")
+            return 1
+        return min(chunk_count, max(nz // 2, 1))
+    if kwargs.get("min_mem_usage_filter") or kwargs.get("min_mem_usage_ifft2"):
+        budget = float(kwargs.get("mem_budget_gb", 8.0)) * 1e9
+        per_pair = 5 * 2 * (2 * n) * (2 * n) * 4.0
+        pairs_per_chunk = max(int(budget // per_pair), 1)
+        return max(-(-(nz // 2) // pairs_per_chunk), 1)
+    return 1
+
+
 def fourier_inv(model, data, **kwargs) -> jnp.ndarray:
     """Full FOURIER_INV pipeline on a (detY, angles, detX) JAX array.
 
-    Accepts the reference's kwargs (``methodsDIR_CuPy.py:160-237``); tuning
-    parameters that control CUDA launch shapes (block_dim*, chunk counts,
-    center_size) are accepted for API compatibility and ignored — XLA
-    schedules the equivalent stages.
+    Accepts the reference's kwargs (``methodsDIR_CuPy.py:160-237``).
+    Memory-bounded execution maps to z-slice chunking (exact by the
+    blockwise-consistency invariant): ``chunk_count`` splits the detY axis
+    explicitly, and ``min_mem_usage_filter``/``min_mem_usage_ifft2`` derive
+    a chunk count from ``mem_budget_gb`` (see
+    :func:`_fourier_inv_memory_chunks`).  Kwargs that only control CUDA
+    launch shapes (block_dim*, filter_*_chunk_count, center_size) are
+    accepted for API compatibility and ignored — XLA/Pallas schedule the
+    equivalent stages.
     """
     cutoff_freq = kwargs.get("cutoff_freq") or 1.0
     filter_type = kwargs.get("filter_type") or "shepp"
@@ -333,22 +365,41 @@ def fourier_inv(model, data, **kwargs) -> jnp.ndarray:
     cor = model.geom.cor_horizontal
     rotation_axis = float(np.mean(cor)) + 0.5
 
-    filtered = _fbp_filter_stage(
-        data,
-        data_n,
-        n,
-        filter_type,
-        cutoff_freq,
-        rotation_axis,
-        kwargs.get("power_of_2_oversampling", True),
-        kwargs.get("oversampling_level", 4),
-    )
-    dre, dim = _pack_pairs(filtered)
-    fre, fim = usfft_grid_dispatch(dre, dim, n, theta, eps)
-    fre, fim = _ifft2_centered(fre, fim, n)
-    recon = _unpad_mul_phi(
-        fre, fim, n, nproj, nz, odd_horiz, odd_vert, recon_size, mu
-    )
+    def run_block(block, block_nz, trailing_odd):
+        filtered = _fbp_filter_stage(
+            block,
+            data_n,
+            n,
+            filter_type,
+            cutoff_freq,
+            rotation_axis,
+            kwargs.get("power_of_2_oversampling", True),
+            kwargs.get("oversampling_level", 4),
+        )
+        dre, dim = _pack_pairs(filtered)
+        fre, fim = usfft_grid_dispatch(dre, dim, n, theta, eps)
+        fre, fim = _ifft2_centered(fre, fim, n)
+        return _unpad_mul_phi(
+            fre, fim, n, nproj, block_nz, odd_horiz, trailing_odd,
+            recon_size, mu,
+        )
+
+    n_chunks = _fourier_inv_memory_chunks(nz, n, kwargs)
+    if n_chunks <= 1:
+        recon = run_block(data, nz, odd_vert)
+    else:
+        # pair-aligned z blocks; exact by blockwise consistency (the
+        # invariant the reference proves in test_RecToolsDIRCuPy.py:253-338)
+        pairs = nz // 2
+        per = -(-pairs // n_chunks)
+        parts = []
+        for p0 in range(0, pairs, per):
+            z0, z1 = 2 * p0, min(2 * (p0 + per), nz)
+            last = z1 == nz
+            parts.append(
+                run_block(data[z0:z1], z1 - z0, odd_vert and last)
+            )
+        recon = jnp.concatenate(parts, axis=0)
     return check_kwargs(
         recon, recon_mask_radius=kwargs.get("recon_mask_radius"), cupyrun=True
     )
