@@ -211,19 +211,27 @@ def PD_TV(
 
 
 def prox_regul(self, X: jnp.ndarray, _regularisation_: dict) -> jnp.ndarray:
-    """Dispatch the proximal operator by ``_regularisation_["method"]``
-    (mirrors ``regularisersCuPy.py:6-38``)."""
+    """Dispatch the proximal operator by ``_regularisation_["method"]``.
+
+    Mirrors ``regularisersCuPy.py:6-38`` (substring matching, so combined
+    strings like ``"PD_TV_WAVELETS"`` work) and restores the retired
+    RecToolsIR surface (SURVEY.md §2.4) via
+    :mod:`tomobar_tpu.regularisers_legacy`: FGP_TV, SB_TV, LLT_ROF, TGV,
+    NDF, Diff4th, NLTV and the ``*_WAVELETS`` shrinkage combination
+    (wavelet threshold = ``regul_param2``, the legacy demo convention).
+    """
     method = _regularisation_["method"]
+    out = None
     if method is not None and "ROF_TV" in method:
-        return ROF_TV(
+        out = ROF_TV(
             X,
             _regularisation_["regul_param"],
             _regularisation_["iterations"],
             _regularisation_["time_marching_step"],
             _regularisation_.get("half_precision", False),
         )
-    if method is not None and "PD_TV" in method:
-        return PD_TV(
+    elif method is not None and "PD_TV" in method:
+        out = PD_TV(
             X,
             _regularisation_["regul_param"],
             _regularisation_["iterations"],
@@ -232,4 +240,88 @@ def prox_regul(self, X: jnp.ndarray, _regularisation_: dict) -> jnp.ndarray:
             _regularisation_["PD_LipschitzConstant"],
             _regularisation_.get("half_precision", False),
         )
-    raise ValueError(f"Unknown regularisation method: {method}")
+    elif method is not None and "FGP_TV" in method:
+        from tomobar_tpu.regularisers_legacy import FGP_TV
+
+        out = FGP_TV(
+            X,
+            _regularisation_["regul_param"],
+            _regularisation_["iterations"],
+            _regularisation_["methodTV"],
+            getattr(self, "nonneg_regul", 0),
+        )
+    elif method is not None and "SB_TV" in method:
+        from tomobar_tpu.regularisers_legacy import SB_TV
+
+        out = SB_TV(
+            X,
+            _regularisation_["regul_param"],
+            _regularisation_["iterations"],
+            _regularisation_["methodTV"],
+        )
+    elif method is not None and "LLT_ROF" in method:
+        from tomobar_tpu.regularisers_legacy import LLT_ROF
+
+        out = LLT_ROF(
+            X,
+            _regularisation_["regul_param"],
+            _regularisation_.get("regul_param2", 1e-05),
+            _regularisation_["iterations"],
+            _regularisation_["time_marching_step"],
+        )
+    elif method is not None and "TGV" in method:
+        from tomobar_tpu.regularisers_legacy import TGV
+
+        out = TGV(
+            X,
+            _regularisation_["regul_param"],
+            _regularisation_.get("alpha1", 1.0),
+            _regularisation_.get("alpha0", 2.0),
+            _regularisation_["iterations"],
+            _regularisation_.get("TGV_LipschitzConstant", 12.0),
+        )
+    elif method is not None and "NDF" in method:
+        from tomobar_tpu.regularisers_legacy import NDF
+
+        out = NDF(
+            X,
+            _regularisation_["regul_param"],
+            _regularisation_.get("edge_param", 0.01),
+            _regularisation_["iterations"],
+            _regularisation_["time_marching_step"],
+            _regularisation_.get("NDF_penalty", 1),
+        )
+    elif method is not None and "Diff4th" in method:
+        from tomobar_tpu.regularisers_legacy import Diff4th
+
+        out = Diff4th(
+            X,
+            _regularisation_["regul_param"],
+            _regularisation_.get("edge_param", 0.01),
+            _regularisation_["iterations"],
+            _regularisation_["time_marching_step"],
+        )
+    elif method is not None and "NLTV" in method:
+        from tomobar_tpu.regularisers_legacy import NLTV
+
+        out = NLTV(
+            X,
+            _regularisation_["NLTV_H_i"],
+            _regularisation_["NLTV_H_j"],
+            _regularisation_["NLTV_Weights"],
+            _regularisation_["regul_param"],
+            _regularisation_.get("IterNumb", _regularisation_["iterations"]),
+        )
+    elif method is not None and method.startswith("WAVELET"):
+        out = X  # pure wavelet shrinkage handled below
+    if out is None:
+        raise ValueError(f"Unknown regularisation method: {method}")
+    if "WAVELET" in method:
+        from tomobar_tpu.regularisers_legacy import WAVELET_SHRINK
+
+        out = WAVELET_SHRINK(
+            out,
+            _regularisation_.get("regul_param2", 1e-05),
+            _regularisation_.get("wavelet_levels", 3),
+        )
+    return out

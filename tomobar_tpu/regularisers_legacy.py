@@ -1,0 +1,655 @@
+"""Legacy (retired RecToolsIR) regulariser family, TPU-native.
+
+The reference removed its host/NumPy iterative class together with the
+CCPi-Regularisation-Toolkit dependency in v2026.3.0.0
+(``/root/reference/CHANGELOG.md:3-24``), but the legacy demos
+(``Demos/methods_IR_legacy/*.py``) still exercise the wider regulariser
+surface through ``_regularisation_["method"]`` strings: FGP_TV, SB_TV,
+LLT_ROF, TGV, NDF, Diff4th, NLTV and ``*_WAVELETS`` combinations
+(SURVEY.md §2.4).  This module restores that surface as first-class
+TPU-native operators.
+
+Every operator is the published algorithm expressed as a fused jnp chain
+inside ``lax.fori_loop`` — XLA fuses each iteration into a handful of
+elementwise/stencil kernels, the same role the toolkit's hand-written CUDA
+kernels played.  All operators accept 2D or 3D input with the same
+squeeze/expand conventions as :mod:`tomobar_tpu.regularisers`.
+
+Algorithm sources (public literature, not toolkit code):
+
+* FGP-TV: Beck & Teboulle, "Fast gradient-based algorithms for constrained
+  total variation image denoising and deblurring" (2009).
+* SB-TV: Goldstein & Osher, "The split Bregman method for L1-regularized
+  problems" (2009).
+* LLT-ROF: Kazantsev et al. combined ROF + Lysaker-Lundervold-Tai
+  higher-order model (2017).
+* TGV: Bredies, Kunisch & Pock, "Total generalized variation" (2010),
+  second-order, Chambolle-Pock primal-dual.
+* NDF: Perona & Malik anisotropic diffusion (1990) + Huber variant.
+* Diff4th: Hajiaboli, fourth-order nonlinear PDE (2011).
+* NLTV: nonlocal TV via lagged-diffusivity fixed point on precomputed
+  patch-similarity weights (Buades-style ``patch_select`` neighbour
+  search included).
+* WAVELETS: multi-level Haar soft-thresholding.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tomobar_tpu.regularisers import (
+    _bwd_diff_zero,
+    _fwd_diff,
+    _prev_reflect,
+    _squeeze_2d,
+)
+
+__all__ = [
+    "FGP_TV",
+    "SB_TV",
+    "LLT_ROF",
+    "TGV",
+    "NDF",
+    "Diff4th",
+    "NLTV",
+    "WAVELET_SHRINK",
+    "patch_select",
+]
+
+
+def _axes(ndim: int) -> list:
+    """Difference axes in the PD_TV convention: x, y, then z (3D)."""
+    return [ndim - 1, ndim - 2] + ([ndim - 3] if ndim == 3 else [])
+
+
+def _project_ball(ps, radius, iso: bool):
+    """Project a list of dual fields onto the (an)isotropic ball."""
+    if iso:
+        norm2 = sum(p * p for p in ps)
+        scale = jnp.where(
+            norm2 > radius * radius,
+            radius * jax.lax.rsqrt(jnp.maximum(norm2, 1e-30)),
+            1.0,
+        )
+        return [p * scale for p in ps]
+    return [jnp.clip(p, -radius, radius) for p in ps]
+
+
+# ---------------------------------------------------------------------------
+# FGP-TV
+# ---------------------------------------------------------------------------
+
+
+def FGP_TV(
+    data: jnp.ndarray,
+    regularisation_parameter: float = 1e-05,
+    iterations: int = 100,
+    methodTV: int = 0,
+    nonneg: int = 0,
+) -> jnp.ndarray:
+    """Fast Gradient Projection TV denoising (Beck-Teboulle dual method).
+
+    Solves ``min_u 0.5||u - data||^2 + lam * TV(u)`` on the dual with
+    FISTA momentum.  Same objective as :func:`tomobar_tpu.regularisers.PD_TV`
+    (the two agree to ~1%, which the tests pin).
+    """
+    data, input_is_2d, ind_axis = _squeeze_2d(data)
+    ndim = data.ndim
+    d_axes = _axes(ndim)
+    lam = jnp.float32(regularisation_parameter)
+    L = jnp.float32(8.0 if ndim == 2 else 12.0)
+    data = data.astype(jnp.float32)
+
+    def primal(ps):
+        # u = data + lam*div(p): our div (_bwd_diff_zero) is -grad^T, the
+        # same sign convention PD_TV's primal update uses
+        u = data + lam * sum(
+            _bwd_diff_zero(p, ax) for p, ax in zip(ps, d_axes)
+        )
+        return jnp.maximum(u, 0.0) if nonneg else u
+
+    def body(_, carry):
+        ps, rs, t = carry
+        u = primal(rs)
+        qs = [
+            r + (1.0 / (L * lam)) * _fwd_diff(u, ax)
+            for r, ax in zip(rs, d_axes)
+        ]
+        qs = _project_ball(qs, 1.0, methodTV == 0)
+        t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) * 0.5
+        rs = [q + ((t - 1.0) / t_new) * (q - p) for q, p in zip(qs, ps)]
+        return qs, rs, t_new
+
+    zeros = [jnp.zeros_like(data) for _ in d_axes]
+    ps, _, _ = jax.lax.fori_loop(
+        0, iterations, body, (zeros, zeros, jnp.float32(1.0))
+    )
+    out = primal(ps)
+    if input_is_2d:
+        out = jnp.expand_dims(out, axis=ind_axis)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SB-TV
+# ---------------------------------------------------------------------------
+
+
+def _fwd_diff_zero(u, axis):
+    """Forward difference with zero-at-end boundary (exact negative
+    adjoint of :func:`_bwd_diff_zero` when the dual's last lane is zero —
+    SB's Bregman dual diverges linearly under the reflect-at-end
+    convention because the operator pair is then not exactly adjoint)."""
+    nxt = jnp.concatenate(
+        [
+            jax.lax.slice_in_dim(u, 1, u.shape[axis], axis=axis),
+            jax.lax.slice_in_dim(
+                u, u.shape[axis] - 1, u.shape[axis], axis=axis
+            ),
+        ],
+        axis=axis,
+    )
+    return nxt - u  # last element u[-1]-u[-1] = 0
+
+
+def SB_TV(
+    data: jnp.ndarray,
+    regularisation_parameter: float = 1e-05,
+    iterations: int = 50,
+    methodTV: int = 0,
+) -> jnp.ndarray:
+    """Split-Bregman TV denoising (Goldstein-Osher).
+
+    Same objective as :func:`FGP_TV` up to the boundary convention of the
+    discrete gradient (zero-at-end Neumann here); the u-subproblem uses
+    one residual-form Jacobi sweep per outer iteration (the reference CPU
+    codes use one Gauss-Seidel sweep — Jacobi is the TPU-parallel
+    equivalent, and in residual form its fixed point solves the linear
+    system exactly).
+    """
+    data, input_is_2d, ind_axis = _squeeze_2d(data)
+    ndim = data.ndim
+    d_axes = _axes(ndim)
+    lam = jnp.float32(regularisation_parameter)
+    # penalty weight of the d = grad(u) constraint: the classic
+    # Goldstein-Osher choice is twice the fidelity weight (= 1 here)
+    pen = jnp.float32(2.0)
+    thresh = lam / pen
+    data = data.astype(jnp.float32)
+
+    def body(_, carry):
+        u, ds, bs = carry
+        # u-step: (1 - pen*Lap) u = data + pen*div(b - d) (div = -grad^T).
+        # One residual-form Jacobi sweep with the EXACT div(grad(.))
+        # operator: the fixed point solves the system exactly whatever the
+        # diagonal estimate, so boundary stencils stay consistent with the
+        # d-step's _fwd_diff/_bwd_diff_zero pair.
+        rhs = data + pen * sum(
+            _bwd_diff_zero(b - d, ax) for d, b, ax in zip(ds, bs, d_axes)
+        )
+        lap = sum(_bwd_diff_zero(_fwd_diff_zero(u, ax), ax) for ax in d_axes)
+        resid = rhs - (u - pen * lap)
+        u = u + resid / (1.0 + 2 * len(d_axes) * pen)
+        # d-step: shrink(grad u + b)
+        gs = [_fwd_diff_zero(u, ax) + b for ax, b in zip(d_axes, bs)]
+        if methodTV == 0:  # isotropic joint shrinkage
+            s = jnp.sqrt(sum(g * g for g in gs) + 1e-12)
+            factor = jnp.maximum(s - thresh, 0.0) / s
+            ds = [factor * g for g in gs]
+        else:  # anisotropic per-component soft threshold
+            ds = [jnp.sign(g) * jnp.maximum(jnp.abs(g) - thresh, 0.0) for g in gs]
+        bs = [b + (g - d) for b, g, d in zip(bs, gs, ds)]
+        return u, ds, bs
+
+    zeros = [jnp.zeros_like(data) for _ in d_axes]
+    out, _, _ = jax.lax.fori_loop(0, iterations, body, (data, zeros, zeros))
+    if input_is_2d:
+        out = jnp.expand_dims(out, axis=ind_axis)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# LLT-ROF
+# ---------------------------------------------------------------------------
+
+
+def _second_diff(u, axis):
+    """Symmetric second difference with reflect boundaries."""
+    nxt = _fwd_diff(u, axis)  # u[i+1]-u[i], reflect at end
+    prv = u - _prev_reflect(u, axis)  # u[i]-u[i-1], reflect at 0
+    return nxt - prv
+
+
+def LLT_ROF(
+    data: jnp.ndarray,
+    regularisation_parameter: float = 1e-05,
+    regularisation_parameter2: float = 1e-05,
+    iterations: int = 300,
+    time_marching_parameter: float = 0.0025,
+) -> jnp.ndarray:
+    """Combined ROF + Lysaker-Lundervold-Tai explicit scheme.
+
+    ``regularisation_parameter`` weights the first-order (ROF/TV) term and
+    ``regularisation_parameter2`` the second-order LLT term (the legacy
+    demo convention: ``regul_param``/``regul_param2``,
+    ``Demos/methods_IR_legacy/Demo_RealData.py``).
+    """
+    data, input_is_2d, ind_axis = _squeeze_2d(data)
+    ndim = data.ndim
+    d_axes = _axes(ndim)
+    lam_rof = jnp.float32(regularisation_parameter)
+    lam_llt = jnp.float32(regularisation_parameter2)
+    tau = jnp.float32(time_marching_parameter)
+    eps = 1e-8
+    data = data.astype(jnp.float32)
+
+    def body(_, u):
+        # first-order curvature: div( grad u / |grad u| )
+        gs = [_fwd_diff(u, ax) for ax in d_axes]
+        mag1 = jnp.sqrt(sum(g * g for g in gs) + eps)
+        rof = sum(
+            _bwd_diff_zero(g / mag1, ax) for g, ax in zip(gs, d_axes)
+        )
+        # second-order term: sum_i ( u_ii / |D2 u| )_ii
+        d2s = [_second_diff(u, ax) for ax in d_axes]
+        mag2 = jnp.sqrt(sum(d * d for d in d2s) + eps)
+        llt = sum(
+            _second_diff(d / mag2, ax) for d, ax in zip(d2s, d_axes)
+        )
+        return u + tau * (lam_rof * rof - lam_llt * llt - (u - data))
+
+    out = jax.lax.fori_loop(0, iterations, body, data)
+    if input_is_2d:
+        out = jnp.expand_dims(out, axis=ind_axis)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TGV (second order, Chambolle-Pock)
+# ---------------------------------------------------------------------------
+
+
+def TGV(
+    data: jnp.ndarray,
+    regularisation_parameter: float = 1e-05,
+    alpha1: float = 1.0,
+    alpha0: float = 2.0,
+    iterations: int = 300,
+    lipschitz_const: float = 12.0,
+) -> jnp.ndarray:
+    """Second-order Total Generalized Variation denoising (primal-dual).
+
+    Solves ``min_u 0.5||u-data||^2 + lam*TGV^2_{alpha0,alpha1}(u)`` with
+    the Chambolle-Pock algorithm; ``lipschitz_const`` bounds ||K||^2 for
+    the step sizes tau = sigma = 1/sqrt(L).
+    """
+    data, input_is_2d, ind_axis = _squeeze_2d(data)
+    ndim = data.ndim
+    d_axes = _axes(ndim)
+    nd = len(d_axes)
+    lam = jnp.float32(regularisation_parameter)
+    r1 = lam * jnp.float32(alpha1)
+    r0 = lam * jnp.float32(alpha0)
+    step = jnp.float32(1.0 / np.sqrt(lipschitz_const))
+    tau = sigma = step
+    data = data.astype(jnp.float32)
+
+    # symmetric-gradient components: nd diagonals then the i<j off-diagonals
+    offd = [(i, j) for i in range(nd) for j in range(i + 1, nd)]
+
+    def sym_grad(vs):
+        diag = [_fwd_diff(vs[i], d_axes[i]) for i in range(nd)]
+        off = [
+            0.5 * (_fwd_diff(vs[i], d_axes[j]) + _fwd_diff(vs[j], d_axes[i]))
+            for i, j in offd
+        ]
+        return diag, off
+
+    def sym_div(diag, off):
+        out = []
+        for i in range(nd):
+            t = _bwd_diff_zero(diag[i], d_axes[i])
+            for k, (a, b) in enumerate(offd):
+                if a == i:
+                    t = t + _bwd_diff_zero(off[k], d_axes[b])
+                elif b == i:
+                    t = t + _bwd_diff_zero(off[k], d_axes[a])
+            out.append(t)
+        return out
+
+    def body(_, carry):
+        u, ub, vs, vbs, ps, qd, qo = carry
+        # dual p: ascent on grad(ub) - vb, project onto ball r1
+        ps = [
+            p + sigma * (_fwd_diff(ub, ax) - vb)
+            for p, ax, vb in zip(ps, d_axes, vbs)
+        ]
+        norm2 = sum(p * p for p in ps)
+        scale = jnp.where(
+            norm2 > r1 * r1, r1 * jax.lax.rsqrt(jnp.maximum(norm2, 1e-30)), 1.0
+        )
+        ps = [p * scale for p in ps]
+        # dual q: ascent on E(vb), project onto ball r0 (Frobenius with
+        # doubled off-diagonal weight)
+        gd, go = sym_grad(vbs)
+        qd = [q + sigma * g for q, g in zip(qd, gd)]
+        qo = [q + sigma * g for q, g in zip(qo, go)]
+        qn2 = sum(q * q for q in qd) + 2.0 * sum(q * q for q in qo)
+        qs = jnp.where(
+            qn2 > r0 * r0, r0 * jax.lax.rsqrt(jnp.maximum(qn2, 1e-30)), 1.0
+        )
+        qd = [q * qs for q in qd]
+        qo = [q * qs for q in qo]
+        # primal u: gradient + prox of the fidelity
+        u_old = u
+        u = (
+            u + tau * sum(_bwd_diff_zero(p, ax) for p, ax in zip(ps, d_axes))
+            + tau * data
+        ) / (1.0 + tau)
+        ub = 2.0 * u - u_old
+        # primal v
+        dv = sym_div(qd, qo)
+        vs_old = vs
+        vs = [v + tau * (p + d) for v, p, d in zip(vs, ps, dv)]
+        vbs = [2.0 * v - vo for v, vo in zip(vs, vs_old)]
+        return u, ub, vs, vbs, ps, qd, qo
+
+    z = jnp.zeros_like(data)
+    zv = [z for _ in range(nd)]
+    zo = [z for _ in offd]
+    u, *_ = jax.lax.fori_loop(
+        0, iterations, body, (data, data, zv, zv, zv, zv, zo)
+    )
+    if input_is_2d:
+        u = jnp.expand_dims(u, axis=ind_axis)
+    return u
+
+
+# ---------------------------------------------------------------------------
+# NDF (nonlinear diffusion)
+# ---------------------------------------------------------------------------
+
+
+def NDF(
+    data: jnp.ndarray,
+    regularisation_parameter: float = 1e-05,
+    edge_parameter: float = 0.01,
+    iterations: int = 300,
+    time_marching_parameter: float = 0.025,
+    penalty_type: int = 1,
+) -> jnp.ndarray:
+    """Nonlinear (anisotropic) diffusion with data fidelity.
+
+    ``penalty_type``: 1 = Huber, 2 = Perona-Malik rational
+    ``1/(1+(s/eps)^2)``, 3 = Perona-Malik exponential ``exp(-(s/eps)^2)``.
+    """
+    data, input_is_2d, ind_axis = _squeeze_2d(data)
+    ndim = data.ndim
+    d_axes = _axes(ndim)
+    lam = jnp.float32(regularisation_parameter)
+    eps = jnp.float32(edge_parameter)
+    tau = jnp.float32(time_marching_parameter)
+    data = data.astype(jnp.float32)
+
+    def g(s):
+        if penalty_type == 1:  # Huber: linear inside eps, 1/|s| outside
+            return jnp.where(jnp.abs(s) > eps, eps / jnp.abs(s), 1.0)
+        if penalty_type == 2:
+            return 1.0 / (1.0 + (s / eps) ** 2)
+        return jnp.exp(-((s / eps) ** 2))
+
+    def body(_, u):
+        dv = jnp.zeros_like(u)
+        for ax in d_axes:
+            d = _fwd_diff(u, ax)
+            dv = dv + _bwd_diff_zero(g(d) * d, ax)
+        return u + tau * (lam * dv - (u - data))
+
+    out = jax.lax.fori_loop(0, iterations, body, data)
+    if input_is_2d:
+        out = jnp.expand_dims(out, axis=ind_axis)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Diff4th (fourth-order PDE)
+# ---------------------------------------------------------------------------
+
+
+def Diff4th(
+    data: jnp.ndarray,
+    regularisation_parameter: float = 1e-05,
+    edge_parameter: float = 0.01,
+    iterations: int = 500,
+    time_marching_parameter: float = 0.001,
+) -> jnp.ndarray:
+    """Fourth-order nonlinear diffusion (edge function on the Laplacian)."""
+    data, input_is_2d, ind_axis = _squeeze_2d(data)
+    ndim = data.ndim
+    d_axes = _axes(ndim)
+    lam = jnp.float32(regularisation_parameter)
+    eps = jnp.float32(edge_parameter)
+    tau = jnp.float32(time_marching_parameter)
+    data = data.astype(jnp.float32)
+
+    def laplacian(u):
+        return sum(_second_diff(u, ax) for ax in d_axes)
+
+    def body(_, u):
+        lap = laplacian(u)
+        w = lap / (1.0 + (lap / eps) ** 2)
+        return u + tau * (-lam * laplacian(w) - (u - data))
+
+    out = jax.lax.fori_loop(0, iterations, body, data)
+    if input_is_2d:
+        out = jnp.expand_dims(out, axis=ind_axis)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# NLTV (nonlocal TV on precomputed neighbour weights)
+# ---------------------------------------------------------------------------
+
+
+def patch_select(
+    data: jnp.ndarray,
+    search_window: int = 9,
+    similarity_window: int = 2,
+    neighbours: int = 15,
+    edge_parameter: float = 0.2,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Nonlocal neighbour search for 2D images (PatchSelect analogue).
+
+    For every pixel, ranks all offsets in a ``(2*search_window+1)^2``
+    search region by Gaussian-patch distance and keeps the ``neighbours``
+    best.  Returns ``(H_i, H_j, Weights)``, each ``(neighbours, H, W)``:
+    absolute row/column coordinates of the selected neighbours and their
+    similarity weights ``exp(-d2 / edge_parameter^2)`` — the triple the
+    legacy NLTV demos feed into ``_regularisation_`` as
+    ``NLTV_H_i/NLTV_H_j/NLTV_Weights``.
+    """
+    u = jnp.asarray(data, jnp.float32)
+    if u.ndim != 2:
+        raise ValueError("patch_select currently supports 2D images")
+    H, W = u.shape
+    sw, pw = int(search_window), int(similarity_window)
+    # gaussian patch kernel, separable
+    t = np.arange(-pw, pw + 1, dtype=np.float32)
+    k1 = np.exp(-(t**2) / (2.0 * max(pw / 2.0, 0.5) ** 2))
+    k1 /= k1.sum()
+    kern = jnp.asarray(np.outer(k1, k1))
+
+    rows = jnp.arange(H)[:, None] * jnp.ones((1, W), jnp.int32)
+    cols = jnp.ones((H, 1), jnp.int32) * jnp.arange(W)[None, :]
+
+    offsets = [
+        (di, dj)
+        for di in range(-sw, sw + 1)
+        for dj in range(-sw, sw + 1)
+        if not (di == 0 and dj == 0)
+    ]
+    off = jnp.asarray(offsets, jnp.int32)  # (M, 2)
+
+    def patch_dist(o):
+        di, dj = o[0], o[1]
+        shifted = jnp.roll(u, (-di, -dj), axis=(0, 1))
+        d2 = (u - shifted) ** 2
+        # gaussian-weighted SSD via 2D correlation
+        d2 = jax.scipy.signal.convolve2d(d2, kern, mode="same")
+        # invalidate out-of-image neighbours
+        ri = jnp.clip(rows + di, 0, H - 1)
+        rj = jnp.clip(cols + dj, 0, W - 1)
+        valid = ((rows + di) == ri) & ((cols + dj) == rj)
+        return jnp.where(valid, d2, jnp.inf), ri, rj
+
+    d2s, ris, rjs = jax.vmap(patch_dist)(off)  # (M, H, W) each
+    # top-k smallest distances per pixel
+    neg = -jnp.moveaxis(d2s, 0, -1)  # (H, W, M)
+    _, idx = jax.lax.top_k(neg, neighbours)  # (H, W, K)
+    idx = jnp.moveaxis(idx, -1, 0)  # (K, H, W)
+    take = lambda a: jnp.take_along_axis(a, idx, axis=0)
+    d2_sel = take(d2s)
+    h_i = take(ris)
+    h_j = take(rjs)
+    w = jnp.exp(-d2_sel / jnp.float32(edge_parameter) ** 2)
+    w = jnp.where(jnp.isfinite(d2_sel), w, 0.0)
+    return h_i.astype(jnp.uint16), h_j.astype(jnp.uint16), w
+
+
+def NLTV(
+    data: jnp.ndarray,
+    H_i: jnp.ndarray,
+    H_j: jnp.ndarray,
+    weights: jnp.ndarray,
+    regularisation_parameter: float = 0.0025,
+    iterations: int = 5,
+) -> jnp.ndarray:
+    """Nonlocal TV denoising on precomputed neighbour weights (2D).
+
+    Lagged-diffusivity fixed point on
+    ``sum_k w_k |u - u(N_k)|_eps + 1/(2*lam) ||u - data||^2``:
+    each iteration re-linearises the nonlocal TV term and solves the
+    resulting weighted-average update in closed form.
+    """
+    u0 = jnp.asarray(data, jnp.float32)
+    squeeze = False
+    if u0.ndim == 3 and u0.shape[0] == 1:
+        u0, squeeze = u0[0], True
+    if u0.ndim != 2:
+        raise ValueError("NLTV supports 2D images (reference parity)")
+    hi = jnp.asarray(H_i, jnp.int32)
+    hj = jnp.asarray(H_j, jnp.int32)
+    w = jnp.asarray(weights, jnp.float32)
+    lam = jnp.float32(regularisation_parameter)
+    eps = 1e-5
+
+    def body(_, u):
+        nb = u[hi, hj]  # (K, H, W) gather of neighbour values
+        r = w / jnp.sqrt((u[None] - nb) ** 2 + eps * eps)
+        denom = 1.0 + lam * jnp.sum(r, axis=0)
+        return (u0 + lam * jnp.sum(r * nb, axis=0)) / denom
+
+    out = jax.lax.fori_loop(0, iterations, body, u0)
+    return out[None] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# WAVELETS (multi-level Haar soft threshold)
+# ---------------------------------------------------------------------------
+
+_SQRT2 = float(np.sqrt(2.0))
+
+
+def _haar_fwd_axis(x, axis):
+    n = x.shape[axis]
+    ne = n - (n % 2)
+    head = jax.lax.slice_in_dim(x, 0, ne, axis=axis)
+    ev = jax.lax.slice_in_dim(head, 0, ne, stride=2, axis=axis)
+    od = jax.lax.slice_in_dim(head, 1, ne, stride=2, axis=axis)
+    a = (ev + od) / _SQRT2
+    d = (ev - od) / _SQRT2
+    tail = jax.lax.slice_in_dim(x, ne, n, axis=axis)  # odd leftover passes
+    return a, d, tail
+
+
+def _haar_inv_axis(a, d, tail, axis):
+    ev = (a + d) / _SQRT2
+    od = (a - d) / _SQRT2
+    stacked = jnp.stack([ev, od], axis=axis + 1)
+    shp = list(ev.shape)
+    shp[axis] *= 2
+    x = stacked.reshape(shp)
+    if tail.shape[axis]:
+        x = jnp.concatenate([x, tail], axis=axis)
+    return x
+
+
+def _soft(x, thr):
+    return jnp.sign(x) * jnp.maximum(jnp.abs(x) - thr, 0.0)
+
+
+def _haar_level(x, axes, thr, keep_approx):
+    """One Haar level over ``axes``; thresholds every detail band."""
+    bands = [(x, ())]  # (array, detail-mask tuple)
+    for ax in axes:
+        new = []
+        for arr, mask in bands:
+            a, d, tail = _haar_fwd_axis(arr, ax)
+            new.append((a, mask + (0,)))
+            new.append((d, mask + (1,)))
+            new.append((tail, mask + (2,)))  # passthrough leftover
+        bands = new
+    out = []
+    for arr, mask in bands:
+        is_approx = all(m == 0 for m in mask)
+        if not is_approx and any(m == 1 for m in mask):
+            arr = _soft(arr, thr)
+        out.append((arr, mask))
+    return out
+
+
+def _haar_rebuild(bands, axes):
+    for ax in reversed(axes):
+        grouped = {}
+        for arr, mask in bands:
+            grouped.setdefault(mask[:-1], {})[mask[-1]] = arr
+        bands = [
+            (_haar_inv_axis(g[0], g[1], g[2], ax), mask)
+            for mask, g in grouped.items()
+        ]
+    (x, _), = bands
+    return x
+
+
+def WAVELET_SHRINK(
+    data: jnp.ndarray,
+    threshold: float,
+    levels: int = 3,
+) -> jnp.ndarray:
+    """Multi-level Haar wavelet soft-thresholding (2D or 3D).
+
+    The TPU-native stand-in for the toolkit wavelet shrinkage the legacy
+    ``*_WAVELETS`` method strings invoked after the primary prox
+    (``Demos/methods_IR_legacy/DemoFISTA_real_artifacts3D.py``:
+    ``regul_param2`` is the wavelet threshold).
+    """
+    x = jnp.asarray(data, jnp.float32)
+    axes = list(range(x.ndim))
+    thr = jnp.float32(threshold)
+
+    def shrink(x, level):
+        if level == 0 or min(x.shape) < 2:
+            return x
+        bands = _haar_level(x, axes, thr, keep_approx=True)
+        out = []
+        for arr, mask in bands:
+            if all(m == 0 for m in mask):  # recurse on the approximation
+                arr = shrink(arr, level - 1)
+            out.append((arr, mask))
+        return _haar_rebuild(out, axes)
+
+    return shrink(x, int(levels))
