@@ -357,3 +357,29 @@ class TestFourierInvMemoryBounded:
             fourier_problem["sino"], filter_type="shepp", chunk_count=-2
         )
         assert np.isfinite(np.asarray(rec)).all()
+
+
+class TestDeviceMemStackShapeMode:
+    """The reference's estimator-only dry run: with DeviceMemStack active,
+    FOURIER_INV accepts a shape tuple, records a high-water estimate and
+    returns the output shape without executing
+    (methodsDIR_CuPy.py:253-258, :437-441)."""
+
+    def test_shape_in_returns_shape_out(self, fourier_problem):
+        from tomobar_tpu.utils.memest import DeviceMemStack
+
+        rt = fourier_problem["rt"]
+        sino = fourier_problem["sino"]
+        with DeviceMemStack() as stack:
+            out_shape = rt.FOURIER_INV(sino.shape, filter_type="shepp")
+        assert stack.highwater > 0
+        assert stack.current == 0  # malloc/free balanced
+        real = np.asarray(rt.FOURIER_INV(sino, filter_type="shepp"))
+        assert tuple(out_shape) == real.shape
+        # estimate must at least cover input + output f32 buffers
+        assert stack.highwater >= (sino.size + real.size) * 4
+
+    def test_inactive_stack_requires_array(self, fourier_problem):
+        rt = fourier_problem["rt"]
+        with pytest.raises(Exception):
+            rt.FOURIER_INV(fourier_problem["sino"].shape, filter_type="shepp")

@@ -255,7 +255,26 @@ class RecToolsDIRTPU(RecToolsDIR):
 
     def FOURIER_INV(self, data, **kwargs):
         """Fourier direct inversion on unequally-spaced grids (USFFT /
-        log-polar family).  See :mod:`tomobar_tpu.ops.usfft`."""
-        from tomobar_tpu.ops.usfft import fourier_inv
+        log-polar family).  See :mod:`tomobar_tpu.ops.usfft`.
 
+        Shape-mode dry run: inside a ``with DeviceMemStack():`` block,
+        ``data`` may be a shape tuple instead of an array — the pipeline is
+        compiled (never executed), XLA's memory analysis is recorded on the
+        stack's high-water mark, and the output shape is returned, matching
+        the reference's estimator-only mode (``methodsDIR_CuPy.py:253-258``,
+        return at ``:437-441``) used by HTTomo for slab planning.
+        """
+        from tomobar_tpu.ops.usfft import fourier_inv
+        from tomobar_tpu.utils.memest import (
+            DeviceMemStack,
+            estimate_fourier_inv_memory,
+        )
+
+        mem_stack = DeviceMemStack.instance()
+        if mem_stack is not None and isinstance(data, (tuple, list)):
+            shape = tuple(int(s) for s in data)
+            est = estimate_fourier_inv_memory(self, shape, **kwargs)
+            mem_stack.malloc(est["total"])
+            mem_stack.free(est["total"])
+            return est["output_shape"]
         return fourier_inv(self, data, **kwargs)

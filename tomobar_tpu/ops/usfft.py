@@ -317,8 +317,12 @@ def fourier_inv(model, data, **kwargs) -> jnp.ndarray:
     accepted for API compatibility and ignored — XLA/Pallas schedule the
     equivalent stages.
     """
-    cutoff_freq = kwargs.get("cutoff_freq") or 1.0
-    filter_type = kwargs.get("filter_type") or "shepp"
+    cutoff_freq = kwargs.get("cutoff_freq")
+    if cutoff_freq is None:
+        cutoff_freq = 1.0
+    filter_type = kwargs.get("filter_type")
+    if filter_type is None:
+        filter_type = "shepp"
     if filter_type not in (
         "none", "ramp", "shepp", "cosine", "cosine2", "hamming", "hann", "parzen",
     ):

@@ -304,13 +304,18 @@ def prox_regul(self, X: jnp.ndarray, _regularisation_: dict) -> jnp.ndarray:
     elif method is not None and "NLTV" in method:
         from tomobar_tpu.regularisers_legacy import NLTV
 
+        # legacy demo dicts (DemoFISTA_NLTV_2D.py) supply IterNumb and may
+        # omit "iterations" entirely, so the fallback must be lazy
+        nltv_iters = _regularisation_.get("IterNumb")
+        if nltv_iters is None:
+            nltv_iters = _regularisation_.get("iterations", 5)
         out = NLTV(
             X,
             _regularisation_["NLTV_H_i"],
             _regularisation_["NLTV_H_j"],
             _regularisation_["NLTV_Weights"],
             _regularisation_["regul_param"],
-            _regularisation_.get("IterNumb", _regularisation_["iterations"]),
+            nltv_iters,
         )
     elif method is not None and method.startswith("WAVELET"):
         out = X  # pure wavelet shrinkage handled below
@@ -319,9 +324,18 @@ def prox_regul(self, X: jnp.ndarray, _regularisation_: dict) -> jnp.ndarray:
     if "WAVELET" in method:
         from tomobar_tpu.regularisers_legacy import WAVELET_SHRINK
 
+        # dedicated threshold key; pure WAVELETS uses regul_param, combined
+        # strings (e.g. PD_TV_WAVELETS) keep the legacy regul_param2 demo
+        # convention so regul_param2 is not consumed twice for LLT_ROF_WAVELETS
+        thr = _regularisation_.get("wavelet_threshold")
+        if thr is None:
+            if method.startswith("WAVELET"):
+                thr = _regularisation_["regul_param"]
+            else:
+                thr = _regularisation_.get("regul_param2", 1e-05)
         out = WAVELET_SHRINK(
             out,
-            _regularisation_.get("regul_param2", 1e-05),
+            thr,
             _regularisation_.get("wavelet_levels", 3),
         )
     return out

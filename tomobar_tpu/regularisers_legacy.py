@@ -202,7 +202,10 @@ def SB_TV(
             ds = [factor * g for g in gs]
         else:  # anisotropic per-component soft threshold
             ds = [jnp.sign(g) * jnp.maximum(jnp.abs(g) - thresh, 0.0) for g in gs]
-        bs = [b + (g - d) for b, g, d in zip(bs, gs, ds)]
+        # Bregman update b <- b + (grad u - d); g already carries b, so
+        # b + (grad u - d) = g - d (writing b + g - d would double-count b
+        # and make the dual diverge linearly).
+        bs = [g - d for g, d in zip(gs, ds)]
         return u, ds, bs
 
     zeros = [jnp.zeros_like(data) for _ in d_axes]
@@ -638,11 +641,14 @@ def WAVELET_SHRINK(
     ``regul_param2`` is the wavelet threshold).
     """
     x = jnp.asarray(data, jnp.float32)
-    axes = list(range(x.ndim))
     thr = jnp.float32(threshold)
 
     def shrink(x, level):
-        if level == 0 or min(x.shape) < 2:
+        # transform only axes of size >= 2: solver-internal (1, H, W)
+        # volumes must still shrink over H/W (a singleton axis previously
+        # made this a silent no-op for every 2D recon)
+        axes = [ax for ax in range(x.ndim) if x.shape[ax] >= 2]
+        if level == 0 or not axes:
             return x
         bands = _haar_level(x, axes, thr, keep_approx=True)
         out = []

@@ -59,6 +59,7 @@ def estimate_fourier_inv_memory(
         return fourier_inv(model, data, **kwargs)
 
     example = jax.ShapeDtypeStruct(data_shape, jnp.float32)
+    out_shape = jax.eval_shape(run, example).shape
     compiled = jax.jit(run).lower(example).compile()
     m = compiled.memory_analysis()
     return {
@@ -70,6 +71,7 @@ def estimate_fourier_inv_memory(
             + m.output_size_in_bytes
             + m.temp_size_in_bytes
         ),
+        "output_shape": tuple(out_shape),
     }
 
 

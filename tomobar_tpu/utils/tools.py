@@ -85,6 +85,9 @@ def data_dims_swapper(data, data_axes_labels_order, required_labels_order):
 # ---------------------------------------------------------------------------
 
 
+_FIELD_REDUCERS = {"mean": np.mean, "median": np.median}
+
+
 def normaliser(
     data: np.ndarray,
     flats: np.ndarray,
@@ -96,24 +99,23 @@ def normaliser(
 ) -> np.ndarray:
     """Flat/dark-field normalisation with optional -log transform.
 
-    Supports "mean" and "median" reductions over the flats/darks stacks; the
-    "dynamic" PCA-based method (eigen-flat-fields) lives in
-    :mod:`tomobar_tpu.utils.dffc` and requires its optional dependencies.
+    Computes ``(data - dark) / (flat - dark)`` after reducing the flat/dark
+    stacks along ``axis`` ("mean" or "median"); the "dynamic" PCA-based
+    eigen-flat-field method lives in :mod:`tomobar_tpu.utils.dffc`.  Guard
+    semantics match the reference (``suppTools.py:187-264``) so golden
+    values carry over: non-positive denominators and negative numerators
+    are both replaced by 1.0 before the division, and the -log transform
+    only touches strictly positive ratios (negatives are zeroed).
     """
-    if np.ndim(data) == 2:
+    if np.ndim(data) != 3:
         raise NameError("Normalisation is implemented for 3d data input")
     if darks is None:
         darks = np.zeros(np.shape(flats), dtype="float32")
-    if method is None or method == "mean":
-        flats = np.mean(flats, axis)
-        darks = np.mean(darks, axis)
-    elif method == "median":
-        flats = np.median(flats, axis)
-        darks = np.median(darks, axis)
-    elif method == "dynamic":
+
+    if method == "dynamic":
         from tomobar_tpu.utils.dffc import dynamic_flatfield_correction
 
-        data_norm = dynamic_flatfield_correction(
+        ratio = dynamic_flatfield_correction(
             data,
             flats,
             darks,
@@ -121,32 +123,40 @@ def normaliser(
             n_pa_repetitions=kwargs.get("dyn_iterations", 10),
         )[0]
     else:
-        raise NameError(
-            "Please select an appropriate method for normalisation: "
-            "mean, median or dynamic"
-        )
-    if method != "dynamic":
-        if axis == 0 and np.shape(data)[-np.ndim(flats):] == np.shape(flats):
+        reduce = _FIELD_REDUCERS.get("mean" if method is None else method)
+        if reduce is None:
+            raise NameError(
+                "Please choose the normalisation method out of: mean, "
+                "median or dynamic"
+            )
+        flat_field = reduce(flats, axis)
+        dark_field = reduce(darks, axis)
+
+        if axis == 0 and np.shape(data)[-np.ndim(flat_field):] == np.shape(
+            flat_field
+        ):
             # fused multicore C++ path (one pass, no temporaries); falls
             # back to numpy when the native library is unavailable
             from tomobar_tpu import native
 
-            fused = native.normalise_native(data, flats, darks, log)
+            fused = native.normalise_native(data, flat_field, dark_field, log)
             if fused is not None:
                 return fused
-        denom = flats - darks
-        denom[np.where(denom <= 0.0)] = 1.0
+
         if axis == 1:
-            denom = denom[:, np.newaxis, :]
-            darks = darks[:, np.newaxis, :]
-        nomin = data - darks
-        nomin[np.where(nomin < 0.0)] = 1.0
-        data_norm = np.true_divide(nomin, denom)
+            flat_field = flat_field[:, None, :]
+            dark_field = dark_field[:, None, :]
+        denom = flat_field - dark_field
+        denom[denom <= 0.0] = 1.0
+        numer = data - dark_field
+        numer[numer < 0.0] = 1.0
+        ratio = numer / denom
 
     if log:
-        data_norm[data_norm > 0.0] = -np.log(data_norm[data_norm > 0.0])
-        data_norm[data_norm < 0.0] = 0.0
-    return data_norm
+        positive = ratio > 0.0
+        ratio[positive] = -np.log(ratio[positive])
+        ratio[ratio < 0.0] = 0.0
+    return ratio
 
 
 # ---------------------------------------------------------------------------
