@@ -87,6 +87,47 @@ class TestProjectorPallas:
             atol=1e-4 * np.abs(s0).max(),
         )
 
+    @pytest.mark.parametrize("cor", [0.0, 3.7])
+    def test_packed_2d_matches_unpacked(self, pallas_interpret, cor):
+        """The nz == 1 row-packed kernels (K1p/K4p, 8 image rows on the
+        sublane axis, one-hot MXU tap matrices + strided/prestacked
+        diagonal shifts) must agree with the plain z-on-sublanes kernels
+        to bf16x3 accuracy (~2^-17 relative)."""
+        angles = np.linspace(0.0, np.pi, 45, endpoint=False)
+        geom = Geometry(
+            detectors_x=self.N, detectors_y=1, angles=angles,
+            center_rot_offset=cor, recon_size=self.N,
+        )
+        rng = np.random.default_rng(5)
+        vol = jnp.asarray(
+            rng.standard_normal((1, self.N, self.N)), jnp.float32
+        )
+        sino = jnp.asarray(rng.standard_normal((1, 45, self.N)), jnp.float32)
+
+        orig = projector_pallas._driven_params
+
+        def unpacked(*a, **k):
+            return orig(*a[:6], packed=False)
+
+        fp_p = np.asarray(radon_fp_pallas(vol, geom))
+        bp_p = np.asarray(radon_bp_pallas(sino, geom))
+        assert orig(
+            np.cos(angles), np.sin(angles), np.full(45, float(cor)),
+            self.N, self.N, self.N, packed=True,
+        ).packed
+        projector_pallas._driven_params = unpacked
+        try:
+            fp_u = np.asarray(radon_fp_pallas(vol, geom))
+            bp_u = np.asarray(radon_bp_pallas(sino, geom))
+        finally:
+            projector_pallas._driven_params = orig
+        assert np.abs(fp_p - fp_u).max() < 2e-4 * np.abs(fp_u).max()
+        assert np.abs(bp_p - bp_u).max() < 2e-4 * np.abs(bp_u).max()
+        # the packed pair must itself be an adjoint pair
+        lhs = float(jnp.vdot(radon_fp_pallas(vol, geom), sino))
+        rhs = float(jnp.vdot(vol, radon_bp_pallas(sino, geom)))
+        assert lhs == pytest.approx(rhs, rel=2e-4)
+
     def test_os_subsets_tile_full_fp(self, pallas_interpret, phantom3d_small):
         """Concatenating per-subset FPs reproduces the full FP rows."""
         from tomobar_tpu.ops.projector import Projector

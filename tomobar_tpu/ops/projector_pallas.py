@@ -81,7 +81,9 @@ class _DrivenParams(NamedTuple):
     """Static per-angle-group parameters for one driven-axis group.
 
     alpha/beta/gamma are padded to a multiple of ``_AB`` (alpha=1, beta=0,
-    gamma=0 for padding); ``A`` is the real angle count.
+    gamma=0 for padding); ``A`` is the real angle count.  ``packed`` marks
+    the nz==1 row-packed layout (8 image rows on the sublane axis), which
+    needs 128 extra lanes of roll headroom for the per-sublane shifts.
     """
 
     alpha: np.ndarray  # 1/cos for x-driven (signed)
@@ -92,6 +94,7 @@ class _DrivenParams(NamedTuple):
     U0: int
     NXP: int
     LU: int
+    packed: bool
 
 
 def _driven_params(
@@ -101,6 +104,7 @@ def _driven_params(
     det_x: int,
     ny: int,
     nx: int,
+    packed: bool = False,
 ) -> _DrivenParams:
     alpha = 1.0 / cos_v
     beta = -sin_v / cos_v
@@ -111,6 +115,8 @@ def _driven_params(
     beta = np.concatenate([beta, np.zeros(A_pad - A)])
     gamma = np.concatenate([gamma, np.zeros(A_pad - A)])
     NXP = _round_up(nx + 2, 128) + 128  # row padded; roll headroom
+    if packed:
+        NXP += 128  # per-sublane extra shifts (<= 8 lanes past the uniform roll)
     U0 = _round_up(ny // 2 + 2, 128)
     LU = _round_up(U0 + ny // 2 + 2 + NXP, 128) + 128
     return _DrivenParams(
@@ -122,6 +128,73 @@ def _driven_params(
         U0,
         NXP,
         LU,
+        packed,
+    )
+
+
+def _driven_params_traced(
+    cos_v: jnp.ndarray,
+    sin_v: jnp.ndarray,
+    cor_v: jnp.ndarray,
+    det_x: int,
+    ny: int,
+    nx: int,
+    packed: bool = False,
+) -> _DrivenParams:
+    """Traced-data variant of :func:`_driven_params` for the sharded path:
+    (cos, sin, cor) are per-shard *data* (uniform-SPMD — every device runs
+    the same program on its own parameter slice), so alpha/beta/gamma are
+    computed in jnp and padded with trace-time-static amounts.  All shape
+    fields stay static ints."""
+    cos_v = jnp.asarray(cos_v, jnp.float32)
+    sin_v = jnp.asarray(sin_v, jnp.float32)
+    cor_v = jnp.asarray(cor_v, jnp.float32)
+    alpha = 1.0 / cos_v
+    beta = -sin_v / cos_v
+    gamma = alpha * (cor_v - (det_x - 1) / 2.0) + (nx - 1) / 2.0
+    A = int(cos_v.shape[0])
+    A_pad = _round_up(max(A, 1), _AB)
+    pad = A_pad - A
+    alpha = jnp.concatenate([alpha, jnp.ones(pad, jnp.float32)])
+    beta = jnp.concatenate([beta, jnp.zeros(pad, jnp.float32)])
+    gamma = jnp.concatenate([gamma, jnp.zeros(pad, jnp.float32)])
+    NXP = _round_up(nx + 2, 128) + 128
+    if packed:
+        NXP += 128
+    U0 = _round_up(ny // 2 + 2, 128)
+    LU = _round_up(U0 + ny // 2 + 2 + NXP, 128) + 128
+    return _DrivenParams(alpha, beta, gamma, A, det_x, U0, NXP, LU, packed)
+
+
+def fp_driven_pallas_from_data(vol, cos_v, sin_v, cor_v, det_x: int):
+    """Single driven-group FP with traced per-angle parameters (sharded
+    uniform-SPMD entry point; see parallel/sharding.py).  vol (nz, ny, nx)
+    -> sino (nz, A, det_x)."""
+    nz, ny, nx = vol.shape
+    packed = nz == 1 and ny % 8 == 0
+    prm = _driven_params_traced(
+        cos_v, sin_v, cor_v, det_x, ny, nx, packed=packed
+    )
+    return _over_z(
+        lambda v: _fp_driven_pallas(v, prm), (vol.astype(jnp.float32),),
+        nz, prm.LU,
+    )
+
+
+def bp_driven_pallas_from_data(sino, cos_v, sin_v, cor_v, ny: int, nx: int):
+    """Single driven-group BP with traced per-angle parameters (adjoint of
+    :func:`fp_driven_pallas_from_data`).  sino (nz, A, det_x) -> vol."""
+    nz = sino.shape[0]
+    det_x = sino.shape[2]
+    packed = nz == 1 and ny % 8 == 0 and ny == nx
+    prm = _driven_params_traced(
+        cos_v, sin_v, cor_v, det_x, ny, nx, packed=packed
+    )
+    return _over_z(
+        lambda s: _bp_driven_pallas(s, prm, ny, nx),
+        (sino.astype(jnp.float32),),
+        nz,
+        2 * prm.LU,
     )
 
 
@@ -133,6 +206,23 @@ def _pick_yb(ny: int, nz: int, nxp: int) -> int:
         if yb <= cap and ny % yb == 0:
             return yb
     return 1
+
+
+
+def _dot_b3(a, b):
+    """Manual bf16x3 matmul: exact bf16 products + f32 accumulate give
+    ~2^-17 relative accuracy at 3 single-pass MXU matmuls (Mosaic's f32
+    DEFAULT rounds operands to bf16; HIGHEST re-splits per call and is
+    ~3x slower; HIGH is not lowered)."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (
+        jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+        + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+        + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -182,6 +272,79 @@ def _shear_fp_kernel(beta_ref, vol_ref, s_ref, *, YB, U0, NXP, ny):
 
 
 # ---------------------------------------------------------------------------
+# K1p: row-packed shear-sum for nz == 1 (the 2D case).  The plain kernel
+# puts z on the sublane axis, so a single slice uses 1/8 of the VPU; here
+# 8 consecutive image rows ride the sublanes instead.  Per-row shifts
+# differ by at most ceil(7*|beta|) + 1 <= 8 lanes within a group, so the
+# whole per-row 2-tap placement is folded into a tiny one-hot weight
+# matrix W (10, 8): H = W @ rows puts each row's two interpolation taps on
+# the diagonal band d = {e_r, e_r + 1}, one *strided* lane roll (shift
+# o1_lo + d per sublane d) realises all ten diagonal shifts at once, and a
+# sublane reduction yields the accumulated u-line.  MXU does the
+# interp/one-hot work; no per-sublane selects (measured 5x slower).
+# ---------------------------------------------------------------------------
+
+
+def _shear_fp_packed_kernel(beta_ref, vol_ref, s_ref, *, YBG, U0, NXP, ny):
+    ab = pl.program_id(0)
+    yb = pl.program_id(1)
+
+    @pl.when(yb == 0)
+    def _():
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    cy = (ny - 1) / 2.0
+    r_row = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1).astype(jnp.float32)
+    d_ids = jax.lax.broadcasted_iota(jnp.int32, (10, 8), 0)
+
+    def grp_body(i, _):
+        y0 = ((yb * YBG + i) * 8).astype(jnp.float32)
+        rows = vol_ref[i]  # (8, NXP): 8 consecutive image rows
+        # bf16x3 operand split hoisted out of the angle loop (see _dot_b3)
+        r_hi = rows.astype(jnp.bfloat16)
+        r_lo = (rows - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def ang_body(ia, _):
+            beta = beta_ref[ab * _AB + ia]
+            # o_r = U0 - floor(beta*(y0+r-cy)) is monotone in r: the max
+            # floor (= min o) is at one of the two ends
+            kf_hi = jnp.maximum(
+                jnp.floor(beta * (y0 - cy)),
+                jnp.floor(beta * (y0 + 7.0 - cy)),
+            )
+            shift = beta * (y0 + r_row - cy)  # (1, 8)
+            kf = jnp.floor(shift)
+            f = shift - kf
+            e = (kf_hi - kf).astype(jnp.int32)  # (1, 8) in [0, 8]
+            o1 = U0 - kf_hi.astype(jnp.int32) - 1
+            o1_hi = o1 // 128
+            o1_lo = o1 - o1_hi * 128
+            # W[d, r]: (1-f_r) at d = e_r+1, f_r at d = e_r, so that
+            # s[o_r + j] += (1-f_r) row[r, j] and s[o_r - 1 + j] += f_r ...
+            w = jnp.where(d_ids == e + 1, 1.0 - f, 0.0) + jnp.where(
+                d_ids == e, f, 0.0
+            )
+            w_hi = w.astype(jnp.bfloat16)
+            w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            h = (
+                jnp.dot(w_hi, r_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(w_hi, r_lo, preferred_element_type=jnp.float32)
+                + jnp.dot(w_lo, r_hi, preferred_element_type=jnp.float32)
+            )  # (10, NXP)
+            # sublane d rolled by o1_lo + d: all diagonal shifts at once
+            h = pltpu.roll(h, o1_lo, 1, stride=1, stride_axis=0)
+            line = jnp.sum(h, axis=0, keepdims=True)  # (1, NXP)
+            off = pl.multiple_of(o1_hi * 128, 128)
+            s_ref[ia, :, pl.ds(off, NXP)] += line
+            return 0
+
+        jax.lax.fori_loop(0, _AB, ang_body, 0, unroll=_AB)
+        return 0
+
+    jax.lax.fori_loop(0, YBG, grp_body, 0)
+
+
+# ---------------------------------------------------------------------------
 # K2: resample (FP second pass)   s (A_pad, nz, LU) -> p (A_pad, nz, TP)
 # p[t] = |alpha| * sum_u s[u] * hat(U0 + alpha*t + gamma - u)
 # ---------------------------------------------------------------------------
@@ -212,9 +375,7 @@ def _resample_fp_kernel(alpha_ref, gamma_ref, s_ref, p_ref, *, U0, LU, det_x, TP
             0.0, 1.0 - jnp.abs(pos - (u0.astype(jnp.float32) + w_ids))
         )
         m = m * abs_alpha
-        p_ref[0, :, pl.ds(tt * _TT, _TT)] = jnp.dot(
-            win, m, preferred_element_type=jnp.float32
-        )
+        p_ref[0, :, pl.ds(tt * _TT, _TT)] = _dot_b3(win, m)
         return 0
 
     jax.lax.fori_loop(0, TP // _TT, tile_body, 0)
@@ -250,9 +411,7 @@ def _resample_bp_kernel(alpha_ref, gamma_ref, p_ref, q_ref, *, U0, TP, det_x, LU
         # zero padded-detector region beyond det_x (p is padded to TP lanes)
         valid = (t_lo.astype(jnp.float32) + t_ids) < det_x
         m = jnp.where(valid, m, 0.0) * abs_alpha
-        q_ref[0, :, pl.ds(ut * _UT, _UT)] = jnp.dot(
-            win, m, preferred_element_type=jnp.float32
-        )
+        q_ref[0, :, pl.ds(ut * _UT, _UT)] = _dot_b3(win, m)
         return 0
 
     jax.lax.fori_loop(0, LU // _UT, tile_body, 0)
@@ -310,6 +469,92 @@ def _unshear_bp_kernel(beta_ref, q_ref, qd_ref, vol_ref, *, YB, U0, NXP, ny):
 
 
 # ---------------------------------------------------------------------------
+# K4p: row-packed unshear (BP second pass) for nz == 1.  Exact transpose of
+# K1p: the shared q window is broadcast to 10 sublanes, one strided roll
+# produces the ten left-shifted diagonal reads G2[d''] = q[o1 + 9 - d'' + .]
+# (d'' reversed so the strided shift stays non-negative/increasing), and a
+# tiny (8, 10) one-hot matrix applies each row's two interpolation taps on
+# the MXU.  No qd precompute is needed — the fractional blend lives in M.
+#
+# BP needs *left* shifts (large right-roll amounts), where the TPU strided
+# rotate mis-sources lanes near source-vreg boundaries (measured on v5e;
+# the FP direction, base < 128, is exact).  So the ten d-shifted reads are
+# prestacked in XLA — qS[a, d] = roll(q[a], d) — and the kernel applies
+# only a plain uniform dynamic roll, which is exact.  The output rows land
+# at lane offset _BP_OUT_OFF so live lanes stay in the non-wrapped region;
+# the driver slices the volume back out at [_BP_OUT_OFF, _BP_OUT_OFF + nx).
+# ---------------------------------------------------------------------------
+
+_BP_OUT_OFF = 256
+
+
+def _unshear_bp_packed_kernel(beta_ref, qs_ref, vol_ref, *, YBG, U0, NXP, ny):
+    yb = pl.program_id(0)
+    ab = pl.program_id(1)
+
+    @pl.when(ab == 0)
+    def _():
+        vol_ref[...] = jnp.zeros_like(vol_ref)
+
+    cy = (ny - 1) / 2.0
+    r_col = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0).astype(jnp.float32)
+    d_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 16), 1)
+
+    def grp_body(i, _):
+        y0 = ((yb * YBG + i) * 8).astype(jnp.float32)
+
+        # batch all _AB angles into one matmul triple: the contraction
+        # runs over (angle, d) jointly — G stacks the uniformly-rolled
+        # bf16 hi/lo window blocks, M the per-angle tap weights.  Manual
+        # bf16x3 (hi*hi + hi*lo + lo*hi with exact bf16 products and f32
+        # accumulate) keeps ~2^-17 accuracy at 3 single-pass matmuls.
+        gh, gl, mh, ml = [], [], [], []
+        for ia in range(_AB):
+            beta = beta_ref[ab * _AB + ia]
+            kf_hi = jnp.maximum(
+                jnp.floor(beta * (y0 - cy)),
+                jnp.floor(beta * (y0 + 7.0 - cy)),
+            )
+            shift = beta * (y0 + r_col - cy)  # (8, 1)
+            kf = jnp.floor(shift)
+            f = shift - kf
+            e = (kf_hi - kf).astype(jnp.int32)  # (8, 1) in [0, 8]
+            o1 = U0 - kf_hi.astype(jnp.int32) - 1
+            o1_hi = o1 // 128
+            o1_lo = o1 - o1_hi * 128
+            off = pl.multiple_of(o1_hi * 128, 128)
+            # uniform plain roll: out lane _BP_OUT_OFF + j of sublane d
+            # holds qS[d][off + j + o1_lo + 9] = q[o1 + 9 - d + j].
+            # Dynamic rotate is 32-bit only, so roll f32 then hi/lo split.
+            g = pltpu.roll(
+                qs_ref[ia, :, pl.ds(off, NXP)], _BP_OUT_OFF - o1_lo - 9, 1
+            )
+            g_hi = g.astype(jnp.bfloat16)
+            gh.append(g_hi)
+            gl.append((g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16))
+            # M[r, d]: (1-f_r) at d = 8 - e_r (reads q[o_r + j]) and
+            # f_r at d = 9 - e_r (reads q[o_r - 1 + j]) — transpose of W
+            m = jnp.where(d_ids == 8 - e, 1.0 - f, 0.0) + jnp.where(
+                d_ids == 9 - e, f, 0.0
+            )
+            m_hi = m.astype(jnp.bfloat16)
+            mh.append(m_hi)
+            ml.append((m - m_hi.astype(jnp.float32)).astype(jnp.bfloat16))
+        m_hi = jnp.concatenate(mh, axis=1)  # (8, 16*_AB)
+        m_lo = jnp.concatenate(ml, axis=1)
+        g_hi = jnp.concatenate(gh, axis=0)  # (16*_AB, NXP)
+        g_lo = jnp.concatenate(gl, axis=0)
+        vol_ref[i] += (
+            jnp.dot(m_hi, g_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(m_hi, g_lo, preferred_element_type=jnp.float32)
+            + jnp.dot(m_lo, g_hi, preferred_element_type=jnp.float32)
+        )
+        return 0
+
+    jax.lax.fori_loop(0, YBG, grp_body, 0)
+
+
+# ---------------------------------------------------------------------------
 # host-side drivers
 # ---------------------------------------------------------------------------
 
@@ -328,28 +573,58 @@ def _fp_driven_pallas(vol: jnp.ndarray, prm: _DrivenParams) -> jnp.ndarray:
     beta = jnp.asarray(prm.beta)
     gamma = jnp.asarray(prm.gamma)
 
-    s = pl.pallas_call(
-        partial(_shear_fp_kernel, YB=YB, U0=prm.U0, NXP=prm.NXP, ny=ny),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(A_pad // _AB, ny // YB),
-            in_specs=[
-                pl.BlockSpec(
-                    (YB, nz, prm.NXP), lambda ab, yb, *_: (yb, 0, 0),
-                    memory_space=pltpu.VMEM,
-                )
-            ],
-            out_specs=pl.BlockSpec(
-                (_AB, nz, prm.LU), lambda ab, yb, *_: (ab, 0, 0),
-                memory_space=pltpu.VMEM,
+    if prm.packed:
+        ny_g = ny // 8
+        YBG = _pick_yb(ny_g, 8, prm.NXP)
+        vol_g = vol_t.reshape(ny_g, 8, prm.NXP)
+        s = pl.pallas_call(
+            partial(
+                _shear_fp_packed_kernel, YBG=YBG, U0=prm.U0, NXP=prm.NXP,
+                ny=ny,
             ),
-        ),
-        out_shape=jax.ShapeDtypeStruct((A_pad, nz, prm.LU), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=_INTERPRET[0],
-    )(beta, vol_t)
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(A_pad // _AB, ny_g // YBG),
+                in_specs=[
+                    pl.BlockSpec(
+                        (YBG, 8, prm.NXP), lambda ab, yb, *_: (yb, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                ],
+                out_specs=pl.BlockSpec(
+                    (_AB, nz, prm.LU), lambda ab, yb, *_: (ab, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            out_shape=jax.ShapeDtypeStruct((A_pad, nz, prm.LU), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=_INTERPRET[0],
+        )(beta, vol_g)
+    else:
+        s = pl.pallas_call(
+            partial(_shear_fp_kernel, YB=YB, U0=prm.U0, NXP=prm.NXP, ny=ny),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(A_pad // _AB, ny // YB),
+                in_specs=[
+                    pl.BlockSpec(
+                        (YB, nz, prm.NXP), lambda ab, yb, *_: (yb, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                ],
+                out_specs=pl.BlockSpec(
+                    (_AB, nz, prm.LU), lambda ab, yb, *_: (ab, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            out_shape=jax.ShapeDtypeStruct((A_pad, nz, prm.LU), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=_INTERPRET[0],
+        )(beta, vol_t)
 
     p = pl.pallas_call(
         partial(
@@ -419,6 +694,51 @@ def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
         ),
         interpret=_INTERPRET[0],
     )(alpha, gamma, p)
+
+    if prm.packed:
+        ny_g = ny // 8
+        YBG = _pick_yb(ny_g, 8, prm.NXP)
+        # ten statically d-shifted copies of each q line (see K4p notes),
+        # padded to 16 sublanes so the in-kernel angle-stacked blocks stay
+        # tile aligned; the kernel then needs only one uniform dynamic
+        # roll per angle
+        qs = jnp.stack(
+            [
+                jnp.roll(q[:, 0, :], d, axis=-1) if d < 10
+                else jnp.zeros_like(q[:, 0, :])
+                for d in range(16)
+            ],
+            axis=1,
+        )  # (A_pad, 16, LU)
+        vol_g = pl.pallas_call(
+            partial(
+                _unshear_bp_packed_kernel, YBG=YBG, U0=prm.U0, NXP=prm.NXP,
+                ny=ny,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(ny_g // YBG, A_pad // _AB),
+                in_specs=[
+                    pl.BlockSpec(
+                        (_AB, 16, prm.LU), lambda yb, ab, *_: (ab, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (YBG, 8, prm.NXP), lambda yb, ab, *_: (yb, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            out_shape=jax.ShapeDtypeStruct((ny_g, 8, prm.NXP), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=_INTERPRET[0],
+        )(beta, qs)
+        vol_t = vol_g.reshape(ny, nz, prm.NXP)
+        return jnp.swapaxes(
+            vol_t[:, :, _BP_OUT_OFF : _BP_OUT_OFF + nx], 0, 1
+        )  # (nz, ny, nx)
 
     # backward-difference lines d[u] = q[u] - q[u-1], once per angle (the
     # kernel then needs a single dynamic roll per (row, angle)).  The u = 0
@@ -501,7 +821,8 @@ def radon_fp_pallas(vol: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
     out = jnp.zeros((nz, geom.n_angles, det_x), dtype=jnp.float32)
     if idx_x.size:
         prm = _driven_params(
-            cos_v[idx_x], sin_v[idx_x], cor[idx_x], det_x, ny, nx
+            cos_v[idx_x], sin_v[idx_x], cor[idx_x], det_x, ny, nx,
+            packed=(nz == 1 and ny % 8 == 0),
         )
         px = _over_z(
             lambda v: _fp_driven_pallas(v, prm), (vol,), nz, prm.LU
@@ -509,7 +830,8 @@ def radon_fp_pallas(vol: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
         out = out.at[:, idx_x, :].set(px)
     if idx_y.size:
         prm = _driven_params(
-            sin_v[idx_y], cos_v[idx_y], cor[idx_y], det_x, nx, ny
+            sin_v[idx_y], cos_v[idx_y], cor[idx_y], det_x, nx, ny,
+            packed=(nz == 1 and nx % 8 == 0),
         )
         py = _over_z(
             lambda v: _fp_driven_pallas(v, prm),
@@ -534,8 +856,12 @@ def radon_bp_pallas(sino: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
     cos_v, sin_v, idx_x, idx_y = _partition(geom.angles)
 
     vol = jnp.zeros((nz, n, n), dtype=jnp.float32)
+    packed = nz == 1 and n % 8 == 0
     if idx_x.size:
-        prm = _driven_params(cos_v[idx_x], sin_v[idx_x], cor[idx_x], det_x, n, n)
+        prm = _driven_params(
+            cos_v[idx_x], sin_v[idx_x], cor[idx_x], det_x, n, n,
+            packed=packed,
+        )
         vol = vol + _over_z(
             lambda s: _bp_driven_pallas(s, prm, n, n),
             (sino[:, idx_x, :],),
@@ -543,7 +869,10 @@ def radon_bp_pallas(sino: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
             2 * prm.LU,  # q + qd angle blocks both live in VMEM
         )
     if idx_y.size:
-        prm = _driven_params(sin_v[idx_y], cos_v[idx_y], cor[idx_y], det_x, n, n)
+        prm = _driven_params(
+            sin_v[idx_y], cos_v[idx_y], cor[idx_y], det_x, n, n,
+            packed=packed,
+        )
         vol = vol + _over_z(
             lambda s: _bp_driven_pallas(s, prm, n, n),
             (sino[:, idx_y, :],),

@@ -39,7 +39,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from tomobar_tpu.geometry import Geometry
-from tomobar_tpu.ops.projector import _angle_partition, _bp_driven, _fp_driven
+from tomobar_tpu.ops.projector import (
+    _angle_partition,
+    _bp_driven,
+    _fp_driven,
+    _use_pallas,
+    _vshift_sino,
+)
 
 __all__ = [
     "distributed_init",
@@ -163,6 +169,13 @@ class _ShardPlan:
         self.n_angles = geom.n_angles
         self.det_x = geom.detectors_x_total
         self.recon_size = geom.recon_size
+        # [n, 2] CoR: per-angle vertical detector shift applied along the
+        # (sharded) z axis outside shard_map — XLA's SPMD partitioner
+        # inserts the halo exchange (reference semantics supp/funcs.py:45-65)
+        dzv = geom.cor_vertical
+        self.cor_vertical = (
+            np.asarray(dzv) if dzv is not None and np.any(dzv) else None
+        )
 
 
 class ShardedProjector:
@@ -193,16 +206,25 @@ class ShardedProjector:
 
     def _fp_group(self, vol, grp: _GroupPlan, det_x: int, transpose: bool):
         """vol (nz, n, n) -> padded group sinogram (nz, S*B, det_x)."""
+        use_pallas = _use_pallas()
 
         def local(v, c, s, r):
             vv = jnp.swapaxes(v, 1, 2) if transpose else v
+            if use_pallas:
+                from tomobar_tpu.ops.projector_pallas import (
+                    fp_driven_pallas_from_data,
+                )
+
+                return fp_driven_pallas_from_data(vv, c, s, r, det_x)
             return _fp_driven(vv, c, s, r, det_x, varying=("z", "angles"))
 
+        # pallas_call outputs carry no vma metadata -> disable check there
         return shard_map(
             local,
             mesh=self.mesh,
             in_specs=(self.vol_spec, P("angles"), P("angles"), P("angles")),
             out_specs=self.sino_spec,
+            check_vma=not use_pallas,
         )(
             vol,
             jnp.asarray(grp.cos, jnp.float32),
@@ -212,9 +234,17 @@ class ShardedProjector:
 
     def _bp_group(self, sino_g, grp: _GroupPlan, n: int, transpose: bool):
         """padded group sinogram (nz, S*B, det_x) -> vol (nz, n, n)."""
+        use_pallas = _use_pallas()
 
         def local(s_, c, s2, r):
-            part = _bp_driven(s_, c, s2, r, n, n, varying=("z", "angles"))
+            if use_pallas:
+                from tomobar_tpu.ops.projector_pallas import (
+                    bp_driven_pallas_from_data,
+                )
+
+                part = bp_driven_pallas_from_data(s_, c, s2, r, n, n)
+            else:
+                part = _bp_driven(s_, c, s2, r, n, n, varying=("z", "angles"))
             if transpose:
                 part = jnp.swapaxes(part, 1, 2)
             return jax.lax.psum(part, "angles")
@@ -224,6 +254,7 @@ class ShardedProjector:
             mesh=self.mesh,
             in_specs=(self.sino_spec, P("angles"), P("angles"), P("angles")),
             out_specs=self.vol_spec,
+            check_vma=not use_pallas,
         )(
             sino_g,
             jnp.asarray(grp.cos, jnp.float32),
@@ -257,16 +288,28 @@ class ShardedProjector:
     # -- Projector interface --------------------------------------------------
 
     def fp(self, vol):
-        return self._fp_plan(vol, self._plan)
+        return self._post_fp(self._fp_plan(vol, self._plan), self._plan)
 
     def bp(self, sino):
-        return self._bp_plan(sino, self._plan)
+        return self._bp_plan(self._pre_bp(sino, self._plan), self._plan)
 
     def fp_sub(self, vol, sub: int):
-        return self._fp_plan(vol, self._sub_plans[sub])
+        plan = self._sub_plans[sub]
+        return self._post_fp(self._fp_plan(vol, plan), plan)
 
     def bp_sub(self, sino, sub: int):
-        return self._bp_plan(sino, self._sub_plans[sub])
+        plan = self._sub_plans[sub]
+        return self._bp_plan(self._pre_bp(sino, plan), plan)
+
+    def _post_fp(self, sino, plan: _ShardPlan):
+        if plan.cor_vertical is None:
+            return sino
+        return _vshift_sino(sino, plan.cor_vertical)
+
+    def _pre_bp(self, sino, plan: _ShardPlan):
+        if plan.cor_vertical is None:
+            return sino
+        return _vshift_sino(sino, -plan.cor_vertical)
 
     def sino_subset(self, sino, sub: int):
         ind = self.subset_indices[sub]
