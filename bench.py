@@ -208,6 +208,18 @@ def main():
         its3d = None
 
     try:
+        # auditable per-stage rates vs stated rooflines (VPU/HBM): the
+        # projector pair is VPU-bound, PD-TV VMEM/HBM-bound, so these
+        # utilisations are the honest "MFU" of this (non-matmul) workload
+        from tomobar_tpu.bench.breakdown import flagship_breakdown
+
+        extra["roofline"] = flagship_breakdown(
+            N, nz, nproj, os_number, tv_iters, reps=5
+        )
+    except Exception:
+        traceback.print_exc()
+
+    try:
         t_fi, t_fbp, t_fbp2 = bench_direct(N, nz, nproj)
         extra["fourier_inv_ms"] = round(t_fi * 1e3, 2)
         extra["fbp3d_ms"] = round(t_fbp * 1e3, 2)

@@ -1,37 +1,82 @@
-"""Per-component timing breakdown of the flagship FISTA-OS-TV config.
+"""Per-component timing + roofline breakdown of the flagship FISTA config.
 
-Times FP-subset, BP-subset, PD-TV, and the full outer iteration separately
-so perf work can target the dominant term.  Run on the real chip:
+Times FP-subset, BP-subset and PD-TV separately and reports, for each, the
+achieved useful-FLOP rate and effective HBM bandwidth against the stated
+hardware rooflines, so "fast" is auditable rather than asserted.  Run on
+the real chip:
 
     python -m tomobar_tpu.bench.breakdown
+
+Useful-FLOP accounting (algorithmic work, not implementation ops):
+
+* FP/BP (2-pass shear/resample): every (z, angle, row) pair does one
+  2-tap interpolation (2 mul + 1 add) and one accumulate add per driven
+  lane -> 4 flops x nz x A x ny x nx.  This is the same count a perfect
+  Joseph implementation needs, so achieved/roofline is comparable across
+  designs.
+* PD-TV: the fused Chambolle-Pock iteration does ~42 flops/voxel/iter
+  (3 forward diffs, norm + projection, divergence, primal + relaxation);
+  HBM bytes are 9 moves/voxel/iter at fuse depth K >= iterations/sweeps
+  (see ops/pd_tv_pallas.py).
+
+Rooflines (TPU v5e defaults; override via env for other chips):
+  TOMOBAR_ROOF_VPU_GFLOPS   f32 VPU FMA peak   (default 1970 = 8x128x2 @ 0.94 GHz x 8 MACs... conservative published ~2 TF/s)
+  TOMOBAR_ROOF_HBM_GBS      HBM bandwidth      (default 819)
+  TOMOBAR_ROOF_MXU_GFLOPS   bf16 MXU peak      (default 197000)
 """
 
+import json
 import os
-import timeit
 
 import numpy as np
 
+_VPU_PEAK = float(os.environ.get("TOMOBAR_ROOF_VPU_GFLOPS", "1970")) * 1e9
+_HBM_PEAK = float(os.environ.get("TOMOBAR_ROOF_HBM_GBS", "819")) * 1e9
+_MXU_PEAK = float(os.environ.get("TOMOBAR_ROOF_MXU_GFLOPS", "197000")) * 1e9
 
-def main():
+
+def projector_flops(nz, n_ang, ny, nx):
+    """Useful flops of one FP or BP application (see module docstring)."""
+    return 4.0 * nz * n_ang * ny * nx
+
+
+def pd_tv_flops(nz, ny, nx, iters):
+    return 42.0 * nz * ny * nx * iters
+
+
+def pd_tv_bytes(nz, ny, nx, iters, sweeps):
+    # 9 block-moves per voxel per sweep (wavefront fuses K iterations)
+    return 9.0 * nz * ny * nx * 4.0 * sweeps
+
+
+def stage_report(name, dt, flops=None, bytes_moved=None):
+    parts = [f"{name:26s} {dt * 1e3:9.2f} ms"]
+    rec = {"ms": round(dt * 1e3, 2)}
+    if flops:
+        gfs = flops / dt
+        rec["gflops"] = round(gfs / 1e9, 1)
+        rec["vpu_util"] = round(gfs / _VPU_PEAK, 3)
+        parts.append(f"{gfs / 1e9:8.0f} GF/s ({100 * gfs / _VPU_PEAK:5.1f}% VPU)")
+    if bytes_moved:
+        bw = bytes_moved / dt
+        rec["hbm_gbs"] = round(bw / 1e9, 1)
+        rec["hbm_util"] = round(bw / _HBM_PEAK, 3)
+        parts.append(f"{bw / 1e9:7.0f} GB/s ({100 * bw / _HBM_PEAK:5.1f}% HBM)")
+    print("  ".join(parts))
+    return rec
+
+
+def flagship_breakdown(N, nz, nproj, os_number, tv_iters, reps=10):
+    """Measure FP/BP/TV of the flagship config; returns a dict of stage
+    records (ms + achieved rates + roofline fractions)."""
     import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tomobar_bench")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from tomobar_tpu.geometry import Geometry
     from tomobar_tpu.ops.projector import Projector
+    from tomobar_tpu.ops.pd_tv_pallas import _K_FUSE
     from tomobar_tpu.regularisers import PD_TV
-
-    d = jax.devices()[0]
-    print(f"platform={d.platform} kind={getattr(d, 'device_kind', '?')}")
-
-    N = int(os.environ.get("TOMOBAR_BENCH_N", 2560))
-    nz = int(os.environ.get("TOMOBAR_BENCH_NZ", 8))
-    nproj = int(os.environ.get("TOMOBAR_BENCH_NPROJ", 1801))
-    os_number = int(os.environ.get("TOMOBAR_BENCH_OS", 10))
-    tv_iters = int(os.environ.get("TOMOBAR_BENCH_TV_ITERS", 20))
+    from tomobar_tpu.bench.harness import time_fn
 
     angles = np.linspace(0, np.pi, nproj, endpoint=False)
     geom = Geometry(
@@ -39,41 +84,65 @@ def main():
         os_number=os_number,
     )
     P = Projector(geom)
+    n_sub_ang = len(P.subset_indices[0])
 
     key = jax.random.PRNGKey(0)
-    sino = jax.random.uniform(key, (nz, nproj, N), dtype=jnp.float32)
     x = jax.random.uniform(key, (nz, N, N), dtype=jnp.float32)
-    sub0 = jax.device_put(np.asarray(P.sino_subset(sino, 0)))
-
-    from tomobar_tpu.bench.harness import time_fn as _time_fn
-
-    def time_fn(name, fn, *args, reps=20, bytes_moved=None):
-        dt = _time_fn(fn, *args, reps=reps)
-        bw = f"  eff-BW={bytes_moved / dt / 1e9:.0f} GB/s" if bytes_moved else ""
-        print(f"{name:34s} {dt * 1e3:9.2f} ms{bw}")
-        return dt
-
-    vol_b = nz * N * N * 4
+    sub0 = jax.random.uniform(key, (nz, n_sub_ang, N), dtype=jnp.float32)
 
     fp0 = jax.jit(lambda v: P.fp_sub(v, 0))
     bp0 = jax.jit(lambda s: P.bp_sub(s, 0))
     tv = jax.jit(lambda v: PD_TV(v, 1e-4, tv_iters, 0, 1, 12.0))
-    tv_h = jax.jit(
-        lambda v: PD_TV(v, 1e-4, tv_iters, 0, 1, 12.0, half_precision=True)
-    )
 
-    t_fp = time_fn("FP subset0", fp0, x)
-    t_bp = time_fn("BP subset0", bp0, sub0)
-    t_tv = time_fn(
-        f"PD-TV x{tv_iters} f32", tv, x, bytes_moved=9 * vol_b * tv_iters
+    out = {}
+    t_fp = time_fn(fp0, x, reps=reps)
+    out["fp_sub"] = stage_report(
+        f"FP subset ({n_sub_ang} ang)", t_fp,
+        flops=projector_flops(nz, n_sub_ang, N, N),
     )
-    time_fn(
-        f"PD-TV x{tv_iters} bf16 duals", tv_h, x,
-        bytes_moved=6 * vol_b * tv_iters,
+    t_bp = time_fn(bp0, sub0, reps=reps)
+    out["bp_sub"] = stage_report(
+        f"BP subset ({n_sub_ang} ang)", t_bp,
+        flops=projector_flops(nz, n_sub_ang, N, N),
     )
-
+    sweeps = -(-tv_iters // _K_FUSE)
+    t_tv = time_fn(tv, x, reps=reps)
+    out["pd_tv"] = stage_report(
+        f"PD-TV x{tv_iters} (K={_K_FUSE})", t_tv,
+        flops=pd_tv_flops(nz, N, N, tv_iters),
+        bytes_moved=pd_tv_bytes(nz, N, N, tv_iters, sweeps),
+    )
     est = os_number * (t_fp + t_bp + t_tv)
-    print(f"sum estimate ({os_number} subsets):   {est * 1e3:9.2f} ms")
+    out["outer_estimate_ms"] = round(est * 1e3, 2)
+    print(f"{'outer estimate (' + str(os_number) + ' subsets)':26s} "
+          f"{est * 1e3:9.2f} ms  -> {1.0 / est:0.3f} iter/s upper bound")
+    return out
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/jax_cache_tomobar_bench"
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    d = jax.devices()[0]
+    print(f"platform={d.platform} kind={getattr(d, 'device_kind', '?')}")
+    print(
+        f"rooflines: VPU {_VPU_PEAK / 1e12:.2f} TF/s, "
+        f"HBM {_HBM_PEAK / 1e9:.0f} GB/s, MXU {_MXU_PEAK / 1e12:.0f} TF/s"
+    )
+
+    N = int(os.environ.get("TOMOBAR_BENCH_N", 2560))
+    nz = int(os.environ.get("TOMOBAR_BENCH_NZ", 8))
+    nproj = int(os.environ.get("TOMOBAR_BENCH_NPROJ", 1801))
+    os_number = int(os.environ.get("TOMOBAR_BENCH_OS", 10))
+    tv_iters = int(os.environ.get("TOMOBAR_BENCH_TV_ITERS", 20))
+
+    out = flagship_breakdown(N, nz, nproj, os_number, tv_iters)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

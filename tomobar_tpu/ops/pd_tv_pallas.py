@@ -46,8 +46,9 @@ __all__ = ["pd_tv_pallas_supported", "pd_tv_pallas"]
 _YB = 4  # rows per block (VMEM-bound: in/out windows double-buffered)
 # iterations fused per sweep; VMEM scratch grows ~1.7 MB/level at
 # production widths (fits easily in the 100 MB limit).  Measured on v5e
-# at 8x2560x2560: K=3 44.1 ms / K=4 35.7 / K=5 32.7 per 20 iterations.
-_K_FUSE = int(os.environ.get("TOMOBAR_TPU_PDTV_FUSE", "5"))
+# at 8x2560x2560 per 20 iterations: K=3 44.1 ms / K=5 27.7 / K=7 22.5 /
+# K=10 23.0.
+_K_FUSE = int(os.environ.get("TOMOBAR_TPU_PDTV_FUSE", "7"))
 
 
 def pd_tv_pallas_supported(shape) -> bool:

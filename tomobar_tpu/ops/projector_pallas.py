@@ -52,6 +52,10 @@ import os as _os
 # ceil(A/_AB) times in K1 and the q/qd blocks sized (2*_AB, nz, LU) live
 # in VMEM in K4 — larger is less HBM traffic until VMEM runs out
 _AB = int(_os.environ.get("TOMOBAR_TPU_AB", "16"))
+# the FP shear kernel pipelines better with a larger angle block (less
+# volume re-streaming); the BP unshear kernel's q+qd blocks double the
+# VMEM working set, where 32 regresses 2x — so the two sides decouple
+_AB_FP = int(_os.environ.get("TOMOBAR_TPU_AB_FP", "32"))
 _TT = 128  # resample output tile (lanes)
 _TW = 512  # resample input window (covers 128*sqrt(2) + align + slack)
 _UT = 128  # resample-transpose output tile
@@ -95,6 +99,7 @@ class _DrivenParams(NamedTuple):
     NXP: int
     LU: int
     packed: bool
+    AB: int
 
 
 def _driven_params(
@@ -105,12 +110,13 @@ def _driven_params(
     ny: int,
     nx: int,
     packed: bool = False,
+    ab: int = _AB,
 ) -> _DrivenParams:
     alpha = 1.0 / cos_v
     beta = -sin_v / cos_v
     gamma = alpha * (cor_v - (det_x - 1) / 2.0) + (nx - 1) / 2.0
     A = alpha.shape[0]
-    A_pad = _round_up(max(A, 1), _AB)
+    A_pad = _round_up(max(A, 1), ab)
     alpha = np.concatenate([alpha, np.ones(A_pad - A)])
     beta = np.concatenate([beta, np.zeros(A_pad - A)])
     gamma = np.concatenate([gamma, np.zeros(A_pad - A)])
@@ -129,6 +135,7 @@ def _driven_params(
         NXP,
         LU,
         packed,
+        ab,
     )
 
 
@@ -140,6 +147,7 @@ def _driven_params_traced(
     ny: int,
     nx: int,
     packed: bool = False,
+    ab: int = _AB,
 ) -> _DrivenParams:
     """Traced-data variant of :func:`_driven_params` for the sharded path:
     (cos, sin, cor) are per-shard *data* (uniform-SPMD — every device runs
@@ -153,7 +161,7 @@ def _driven_params_traced(
     beta = -sin_v / cos_v
     gamma = alpha * (cor_v - (det_x - 1) / 2.0) + (nx - 1) / 2.0
     A = int(cos_v.shape[0])
-    A_pad = _round_up(max(A, 1), _AB)
+    A_pad = _round_up(max(A, 1), ab)
     pad = A_pad - A
     alpha = jnp.concatenate([alpha, jnp.ones(pad, jnp.float32)])
     beta = jnp.concatenate([beta, jnp.zeros(pad, jnp.float32)])
@@ -163,7 +171,9 @@ def _driven_params_traced(
         NXP += 128
     U0 = _round_up(ny // 2 + 2, 128)
     LU = _round_up(U0 + ny // 2 + 2 + NXP, 128) + 128
-    return _DrivenParams(alpha, beta, gamma, A, det_x, U0, NXP, LU, packed)
+    return _DrivenParams(
+        alpha, beta, gamma, A, det_x, U0, NXP, LU, packed, ab
+    )
 
 
 def fp_driven_pallas_from_data(vol, cos_v, sin_v, cor_v, det_x: int):
@@ -173,7 +183,8 @@ def fp_driven_pallas_from_data(vol, cos_v, sin_v, cor_v, det_x: int):
     nz, ny, nx = vol.shape
     packed = nz == 1 and ny % 8 == 0
     prm = _driven_params_traced(
-        cos_v, sin_v, cor_v, det_x, ny, nx, packed=packed
+        cos_v, sin_v, cor_v, det_x, ny, nx, packed=packed,
+        ab=_AB if packed else _AB_FP,
     )
     return _over_z(
         lambda v: _fp_driven_pallas(v, prm), (vol.astype(jnp.float32),),
@@ -231,7 +242,7 @@ def _dot_b3(a, b):
 # ---------------------------------------------------------------------------
 
 
-def _shear_fp_kernel(beta_ref, vol_ref, s_ref, *, YB, U0, NXP, ny):
+def _shear_fp_kernel(beta_ref, vol_ref, s_ref, *, YB, U0, NXP, ny, AB):
     ab = pl.program_id(0)
     yb = pl.program_id(1)
 
@@ -248,7 +259,7 @@ def _shear_fp_kernel(beta_ref, vol_ref, s_ref, *, YB, U0, NXP, ny):
         row_d = pltpu.roll(row, NXP - 1, 1) - row  # row[j+1] - row[j]
 
         def ang_body(ia, _):
-            beta = beta_ref[ab * _AB + ia]
+            beta = beta_ref[ab * AB + ia]
             shift = beta * (y - cy)
             kf = jnp.floor(shift)
             f = shift - kf
@@ -265,7 +276,7 @@ def _shear_fp_kernel(beta_ref, vol_ref, s_ref, *, YB, U0, NXP, ny):
             s_ref[ia, :, pl.ds(off, NXP)] += g
             return 0
 
-        jax.lax.fori_loop(0, _AB, ang_body, 0, unroll=_AB)
+        jax.lax.fori_loop(0, AB, ang_body, 0, unroll=AB)
         return 0
 
     jax.lax.fori_loop(0, YB, row_body, 0)
@@ -285,7 +296,7 @@ def _shear_fp_kernel(beta_ref, vol_ref, s_ref, *, YB, U0, NXP, ny):
 # ---------------------------------------------------------------------------
 
 
-def _shear_fp_packed_kernel(beta_ref, vol_ref, s_ref, *, YBG, U0, NXP, ny):
+def _shear_fp_packed_kernel(beta_ref, vol_ref, s_ref, *, YBG, U0, NXP, ny, AB):
     ab = pl.program_id(0)
     yb = pl.program_id(1)
 
@@ -305,7 +316,7 @@ def _shear_fp_packed_kernel(beta_ref, vol_ref, s_ref, *, YBG, U0, NXP, ny):
         r_lo = (rows - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
         def ang_body(ia, _):
-            beta = beta_ref[ab * _AB + ia]
+            beta = beta_ref[ab * AB + ia]
             # o_r = U0 - floor(beta*(y0+r-cy)) is monotone in r: the max
             # floor (= min o) is at one of the two ends
             kf_hi = jnp.maximum(
@@ -338,7 +349,7 @@ def _shear_fp_packed_kernel(beta_ref, vol_ref, s_ref, *, YBG, U0, NXP, ny):
             s_ref[ia, :, pl.ds(off, NXP)] += line
             return 0
 
-        jax.lax.fori_loop(0, _AB, ang_body, 0, unroll=_AB)
+        jax.lax.fori_loop(0, AB, ang_body, 0, unroll=AB)
         return 0
 
     jax.lax.fori_loop(0, YBG, grp_body, 0)
@@ -424,7 +435,7 @@ def _resample_bp_kernel(alpha_ref, gamma_ref, p_ref, q_ref, *, U0, TP, det_x, LU
 # ---------------------------------------------------------------------------
 
 
-def _unshear_bp_kernel(beta_ref, q_ref, qd_ref, vol_ref, *, YB, U0, NXP, ny):
+def _unshear_bp_kernel(beta_ref, q_ref, qd_ref, vol_ref, *, YB, U0, NXP, ny, AB):
     """One dynamic roll per (row, angle):
     (1-f)*q[o+j] + f*q[o+j-1] == q[o+j] - f*d[o+j]  with d[u] = q[u]-q[u-1],
     and since roll is linear with a scalar f, that's roll(win - f*dwin) —
@@ -443,7 +454,7 @@ def _unshear_bp_kernel(beta_ref, q_ref, qd_ref, vol_ref, *, YB, U0, NXP, ny):
         y = (yb * YB + i).astype(jnp.float32)
 
         def ang_body(ia, acc):
-            beta = beta_ref[ab * _AB + ia]
+            beta = beta_ref[ab * AB + ia]
             shift = beta * (y - cy)
             kf = jnp.floor(shift)
             f = shift - kf
@@ -460,7 +471,7 @@ def _unshear_bp_kernel(beta_ref, q_ref, qd_ref, vol_ref, *, YB, U0, NXP, ny):
             return acc + pltpu.roll(g, NXP - o1_lo - 1, 1)  # g[j+o1_lo+1]
 
         acc = jax.lax.fori_loop(
-            0, _AB, ang_body, jnp.zeros_like(vol_ref[i]), unroll=_AB
+            0, AB, ang_body, jnp.zeros_like(vol_ref[i]), unroll=AB
         )
         vol_ref[i] += acc
         return 0
@@ -488,7 +499,7 @@ def _unshear_bp_kernel(beta_ref, q_ref, qd_ref, vol_ref, *, YB, U0, NXP, ny):
 _BP_OUT_OFF = 256
 
 
-def _unshear_bp_packed_kernel(beta_ref, qs_ref, vol_ref, *, YBG, U0, NXP, ny):
+def _unshear_bp_packed_kernel(beta_ref, qs_ref, vol_ref, *, YBG, U0, NXP, ny, AB):
     yb = pl.program_id(0)
     ab = pl.program_id(1)
 
@@ -509,8 +520,8 @@ def _unshear_bp_packed_kernel(beta_ref, qs_ref, vol_ref, *, YBG, U0, NXP, ny):
         # bf16x3 (hi*hi + hi*lo + lo*hi with exact bf16 products and f32
         # accumulate) keeps ~2^-17 accuracy at 3 single-pass matmuls.
         gh, gl, mh, ml = [], [], [], []
-        for ia in range(_AB):
-            beta = beta_ref[ab * _AB + ia]
+        for ia in range(AB):
+            beta = beta_ref[ab * AB + ia]
             kf_hi = jnp.maximum(
                 jnp.floor(beta * (y0 - cy)),
                 jnp.floor(beta * (y0 + 7.0 - cy)),
@@ -580,11 +591,11 @@ def _fp_driven_pallas(vol: jnp.ndarray, prm: _DrivenParams) -> jnp.ndarray:
         s = pl.pallas_call(
             partial(
                 _shear_fp_packed_kernel, YBG=YBG, U0=prm.U0, NXP=prm.NXP,
-                ny=ny,
+                ny=ny, AB=prm.AB,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(A_pad // _AB, ny_g // YBG),
+                grid=(A_pad // prm.AB, ny_g // YBG),
                 in_specs=[
                     pl.BlockSpec(
                         (YBG, 8, prm.NXP), lambda ab, yb, *_: (yb, 0, 0),
@@ -592,7 +603,7 @@ def _fp_driven_pallas(vol: jnp.ndarray, prm: _DrivenParams) -> jnp.ndarray:
                     )
                 ],
                 out_specs=pl.BlockSpec(
-                    (_AB, nz, prm.LU), lambda ab, yb, *_: (ab, 0, 0),
+                    (prm.AB, nz, prm.LU), lambda ab, yb, *_: (ab, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ),
@@ -604,10 +615,10 @@ def _fp_driven_pallas(vol: jnp.ndarray, prm: _DrivenParams) -> jnp.ndarray:
         )(beta, vol_g)
     else:
         s = pl.pallas_call(
-            partial(_shear_fp_kernel, YB=YB, U0=prm.U0, NXP=prm.NXP, ny=ny),
+            partial(_shear_fp_kernel, YB=YB, U0=prm.U0, NXP=prm.NXP, ny=ny, AB=prm.AB),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(A_pad // _AB, ny // YB),
+                grid=(A_pad // prm.AB, ny // YB),
                 in_specs=[
                     pl.BlockSpec(
                         (YB, nz, prm.NXP), lambda ab, yb, *_: (yb, 0, 0),
@@ -615,7 +626,7 @@ def _fp_driven_pallas(vol: jnp.ndarray, prm: _DrivenParams) -> jnp.ndarray:
                     )
                 ],
                 out_specs=pl.BlockSpec(
-                    (_AB, nz, prm.LU), lambda ab, yb, *_: (ab, 0, 0),
+                    (prm.AB, nz, prm.LU), lambda ab, yb, *_: (ab, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ),
@@ -713,14 +724,14 @@ def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
         vol_g = pl.pallas_call(
             partial(
                 _unshear_bp_packed_kernel, YBG=YBG, U0=prm.U0, NXP=prm.NXP,
-                ny=ny,
+                ny=ny, AB=prm.AB,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(ny_g // YBG, A_pad // _AB),
+                grid=(ny_g // YBG, A_pad // prm.AB),
                 in_specs=[
                     pl.BlockSpec(
-                        (_AB, 16, prm.LU), lambda yb, ab, *_: (ab, 0, 0),
+                        (prm.AB, 16, prm.LU), lambda yb, ab, *_: (ab, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                 ],
@@ -746,17 +757,17 @@ def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
     qd = q - jnp.roll(q, 1, axis=2)
 
     vol_t = pl.pallas_call(
-        partial(_unshear_bp_kernel, YB=YB, U0=prm.U0, NXP=prm.NXP, ny=ny),
+        partial(_unshear_bp_kernel, YB=YB, U0=prm.U0, NXP=prm.NXP, ny=ny, AB=prm.AB),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(ny // YB, A_pad // _AB),
+            grid=(ny // YB, A_pad // prm.AB),
             in_specs=[
                 pl.BlockSpec(
-                    (_AB, nz, prm.LU), lambda yb, ab, *_: (ab, 0, 0),
+                    (prm.AB, nz, prm.LU), lambda yb, ab, *_: (ab, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (_AB, nz, prm.LU), lambda yb, ab, *_: (ab, 0, 0),
+                    (prm.AB, nz, prm.LU), lambda yb, ab, *_: (ab, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
@@ -789,8 +800,8 @@ def _partition(angles: np.ndarray):
 _Z_BLOCK_BYTES = 6 * 1024 * 1024
 
 
-def _z_chunk(nz: int, lu: int) -> int:
-    cap = max(1, _Z_BLOCK_BYTES // (_AB * lu * 4))
+def _z_chunk(nz: int, lu: int, ab: int = _AB) -> int:
+    cap = max(1, _Z_BLOCK_BYTES // (ab * lu * 4))
     return min(nz, cap)
 
 
@@ -823,6 +834,7 @@ def radon_fp_pallas(vol: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
         prm = _driven_params(
             cos_v[idx_x], sin_v[idx_x], cor[idx_x], det_x, ny, nx,
             packed=(nz == 1 and ny % 8 == 0),
+            ab=_AB if (nz == 1 and ny % 8 == 0) else _AB_FP,
         )
         px = _over_z(
             lambda v: _fp_driven_pallas(v, prm), (vol,), nz, prm.LU
@@ -832,6 +844,7 @@ def radon_fp_pallas(vol: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
         prm = _driven_params(
             sin_v[idx_y], cos_v[idx_y], cor[idx_y], det_x, nx, ny,
             packed=(nz == 1 and nx % 8 == 0),
+            ab=_AB if (nz == 1 and nx % 8 == 0) else _AB_FP,
         )
         py = _over_z(
             lambda v: _fp_driven_pallas(v, prm),
