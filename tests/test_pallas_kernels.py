@@ -14,9 +14,17 @@ from tomobar_tpu.ops.projector import radon_bp, radon_fp
 from tomobar_tpu.ops.projector_pallas import radon_bp_pallas, radon_fp_pallas
 
 
+import os
+
+_ON_TPU = os.environ.get("TOMOBAR_TPU_TEST_DEVICE") == "tpu"
+
+
 @pytest.fixture()
 def pallas_interpret():
-    projector_pallas._INTERPRET[0] = True
+    """Interpret mode on CPU; compiled Mosaic when the TPU lane is active
+    (TOMOBAR_TPU_TEST_DEVICE=tpu) so miscompiles can't hide behind the
+    interpreter (see also tests/test_tpu_hardware.py)."""
+    projector_pallas._INTERPRET[0] = not _ON_TPU
     yield
     projector_pallas._INTERPRET[0] = False
 
