@@ -15,9 +15,13 @@ the identical program on virtual CPU devices:
 """
 
 import os
+import sys
 import timeit
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # pin the platform before jax initialises if we're demonstrating on CPU
 if os.environ.get("JAX_PLATFORMS") == "cpu":

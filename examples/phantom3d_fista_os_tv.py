@@ -14,9 +14,13 @@ Run (any backend; uses the TPU automatically when present):
 """
 
 import os
+import sys
 import timeit
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tomobar_tpu import RecToolsDIRCuPy, RecToolsIRCuPy
 from tomobar_tpu.bench.harness import rel_rmse
