@@ -188,7 +188,9 @@ def bench_direct(N, nz, nproj):
     data2 = data[0]
     fbp2 = jax.jit(lambda d: rt2.FBP(jnp.swapaxes(d, 0, 1)))
     t_fbp2 = time_fn(fbp2, data2, reps=10)
-    return t_fi, t_fbp, t_fbp2
+    fi2 = jax.jit(lambda d: rt2.FOURIER_INV(d))
+    t_fi2 = time_fn(fi2, data2, reps=10)
+    return t_fi, t_fbp, t_fbp2, t_fi2
 
 
 def main():
@@ -220,10 +222,11 @@ def main():
         traceback.print_exc()
 
     try:
-        t_fi, t_fbp, t_fbp2 = bench_direct(N, nz, nproj)
+        t_fi, t_fbp, t_fbp2, t_fi2 = bench_direct(N, nz, nproj)
         extra["fourier_inv_ms"] = round(t_fi * 1e3, 2)
         extra["fbp3d_ms"] = round(t_fbp * 1e3, 2)
         extra["fbp2d_ms"] = round(t_fbp2 * 1e3, 2)
+        extra["fourier_inv2d_ms"] = round(t_fi2 * 1e3, 2)
         # reference property (CHANGELOG.md:64): FOURIER_INV faster than FBP
         extra["fourier_inv_vs_fbp"] = round(t_fbp / t_fi, 3)
     except Exception:
