@@ -19,9 +19,19 @@ otherwise):
   ``alpha*t + gamma`` — implemented as a banded interpolation matrix built
   on the fly per 128-wide output tile and applied on the MXU.
 
-The shear kernels process ``_AB`` angles per volume pass so the volume is
-streamed from HBM A/_AB times instead of A times (the HBM-bandwidth term
-that dominates at production sizes).
+For nz == 1 (2D reconstruction) the plain layout wastes 7/8 of the VPU
+sublane axis, so the K1p/K4p variants pack 8 consecutive image rows onto
+the sublanes: the per-row 2-tap placements become tiny one-hot matrices
+applied on the MXU and the diagonal shifts one strided (FP) or
+prestacked-plus-uniform (BP) lane roll — ~1.8x end-to-end on a v5e.
+
+All matmuls use a manual bf16x3 operand split (`_dot_b3` notes): Mosaic's
+f32 DEFAULT silently rounds operands to bf16, which broke on-chip FP/BP
+adjointness at the 1e-3 level.
+
+The shear kernels process ``_AB``/``_AB_FP`` angles per volume pass so the
+volume is streamed from HBM A/AB times instead of A times (the
+HBM-bandwidth term that dominates at production sizes).
 
 The operator semantics are "2-pass separable linear interpolation"
 (kernel support 3, partition of unity) — slightly smoother than the 1-pass
