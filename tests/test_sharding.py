@@ -249,6 +249,22 @@ def test_sharded_direct_pipeline():
             pass
         else:
             raise AssertionError("expected ValueError for indivisible detY")
+        # non-canonical axis order must be rejected loudly: detY is
+        # mesh-sharded, so honouring another order silently would slab-
+        # shard the wrong axis (ADVICE r3 medium)
+        for meth in (sd.fbp, sd.fourier_inv):
+            try:
+                meth(jnp.asarray(data),
+                     data_axes_labels_order=["angles", "detY", "detX"])
+            except ValueError:
+                pass
+            else:
+                raise AssertionError("expected ValueError for axis order")
+        # the canonical order spelled explicitly is fine
+        fi_c = np.asarray(jax.jit(lambda d: sd.fourier_inv(
+            d, data_axes_labels_order=["detY", "angles", "detX"]))(
+                sd.device_put_sino(jnp.asarray(data))))
+        assert np.abs(fi_c - fi_ref).max() < 1e-4 * np.abs(fi_ref).max()
         print("DIRECT_SHARD_OK")
         """
     )

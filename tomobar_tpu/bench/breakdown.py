@@ -16,8 +16,8 @@ Useful-FLOP accounting (algorithmic work, not implementation ops):
   designs.
 * PD-TV: the fused Chambolle-Pock iteration does ~42 flops/voxel/iter
   (3 forward diffs, norm + projection, divergence, primal + relaxation);
-  HBM bytes are 9 moves/voxel/iter at fuse depth K >= iterations/sweeps
-  (see ops/pd_tv_pallas.py).
+  HBM bytes are 9 moves/voxel/sweep — one HBM pass per fused sweep of
+  K iterations (see ops/pd_tv_pallas.py).
 
 Rooflines (TPU v5e defaults; override via env for other chips):
   TOMOBAR_ROOF_VPU_GFLOPS   f32 VPU FMA peak   (default 1970 = 8x128x2 @ 0.94 GHz x 8 MACs... conservative published ~2 TF/s)
@@ -44,7 +44,7 @@ def pd_tv_flops(nz, ny, nx, iters):
     return 42.0 * nz * ny * nx * iters
 
 
-def pd_tv_bytes(nz, ny, nx, iters, sweeps):
+def pd_tv_bytes(nz, ny, nx, sweeps):
     # 9 block-moves per voxel per sweep (wavefront fuses K iterations)
     return 9.0 * nz * ny * nx * 4.0 * sweeps
 
@@ -110,7 +110,7 @@ def flagship_breakdown(N, nz, nproj, os_number, tv_iters, reps=10):
     out["pd_tv"] = stage_report(
         f"PD-TV x{tv_iters} (K={_K_FUSE})", t_tv,
         flops=pd_tv_flops(nz, N, N, tv_iters),
-        bytes_moved=pd_tv_bytes(nz, N, N, tv_iters, sweeps),
+        bytes_moved=pd_tv_bytes(nz, N, N, sweeps),
     )
     est = os_number * (t_fp + t_bp + t_tv)
     out["outer_estimate_ms"] = round(est * 1e3, 2)

@@ -198,7 +198,7 @@ def fp_driven_pallas_from_data(vol, cos_v, sin_v, cor_v, det_x: int):
     )
     return _over_z(
         lambda v: _fp_driven_pallas(v, prm), (vol.astype(jnp.float32),),
-        nz, prm.LU,
+        nz, prm.LU, prm.AB,
     )
 
 
@@ -216,6 +216,7 @@ def bp_driven_pallas_from_data(sino, cos_v, sin_v, cor_v, ny: int, nx: int):
         (sino.astype(jnp.float32),),
         nz,
         2 * prm.LU,
+        prm.AB,
     )
 
 
@@ -815,10 +816,10 @@ def _z_chunk(nz: int, lu: int, ab: int = _AB) -> int:
     return min(nz, cap)
 
 
-def _over_z(fn, arrs, nz: int, lu: int):
+def _over_z(fn, arrs, nz: int, lu: int, ab: int = _AB):
     """Apply fn to z-chunks of the given arrays (axis 0) and concatenate.
     Static Python loop: chunk count is a trace-time constant."""
-    zc = _z_chunk(nz, lu)
+    zc = _z_chunk(nz, lu, ab)
     if zc >= nz:
         return fn(*arrs)
     outs = []
@@ -847,7 +848,7 @@ def radon_fp_pallas(vol: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
             ab=_AB if (nz == 1 and ny % 8 == 0) else _AB_FP,
         )
         px = _over_z(
-            lambda v: _fp_driven_pallas(v, prm), (vol,), nz, prm.LU
+            lambda v: _fp_driven_pallas(v, prm), (vol,), nz, prm.LU, prm.AB
         )
         out = out.at[:, idx_x, :].set(px)
     if idx_y.size:
@@ -861,6 +862,7 @@ def radon_fp_pallas(vol: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
             (vol.swapaxes(1, 2),),
             nz,
             prm.LU,
+            prm.AB,
         )
         out = out.at[:, idx_y, :].set(py)
     return out[0] if squeeze else out
@@ -890,6 +892,7 @@ def radon_bp_pallas(sino: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
             (sino[:, idx_x, :],),
             nz,
             2 * prm.LU,  # q + qd angle blocks both live in VMEM
+            prm.AB,
         )
     if idx_y.size:
         prm = _driven_params(
@@ -901,5 +904,6 @@ def radon_bp_pallas(sino: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
             (sino[:, idx_y, :],),
             nz,
             2 * prm.LU,  # q + qd angle blocks both live in VMEM
+            prm.AB,
         ).swapaxes(1, 2)
     return vol[0] if squeeze else vol

@@ -47,6 +47,25 @@ class ShardedDirect:
         self.mesh = mesh
         self.sp = ShardedProjector(model.geom, mesh)
 
+    @staticmethod
+    def _require_canonical_axes(kwargs):
+        """Sharded entry points take canonical (detY, angles, detX) only.
+
+        The single-device methods honour ``data_axes_labels_order`` via
+        ``data_dims_swapper``; here the detY axis is already mesh-sharded,
+        so silently accepting another order would slab-shard the wrong
+        axis and return a wrong reconstruction.  Reorder on the host
+        (``data_dims_swapper``) before ``device_put_sino``.
+        """
+        order = kwargs.pop("data_axes_labels_order", None)
+        if order is not None and list(order) != ["detY", "angles", "detX"]:
+            raise ValueError(
+                f"ShardedDirect requires canonical axes ['detY', 'angles', "
+                f"'detX'] (got {list(order)}): the detY axis is mesh-sharded, "
+                "so reorder with tomobar_tpu.utils.tools.data_dims_swapper "
+                "before device_put_sino"
+            )
+
     # -- placement ------------------------------------------------------------
 
     def device_put_sino(self, sino):
@@ -64,6 +83,7 @@ class ShardedDirect:
         so XLA keeps it on the local slab, and the backprojection runs
         through the sharded projector.
         """
+        self._require_canonical_axes(kwargs)
         cutoff = kwargs.get("cutoff_freq", 0.35)
         filter_type = kwargs.get("filter_type")
         data = jnp.asarray(data, jnp.float32)
@@ -90,6 +110,7 @@ class ShardedDirect:
         """
         from tomobar_tpu.ops.usfft import fourier_inv
 
+        self._require_canonical_axes(kwargs)
         data = jnp.asarray(data, jnp.float32)
         nz = data.shape[0]
         n_z_shards = self.mesh.shape["z"]
@@ -101,7 +122,6 @@ class ShardedDirect:
             )
         model = self.model
         local_kwargs = dict(kwargs)
-        local_kwargs.pop("data_axes_labels_order", None)
 
         def local(block):
             return fourier_inv(model, block, **local_kwargs)
