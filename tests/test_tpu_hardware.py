@@ -158,6 +158,65 @@ def test_pd_tv_pallas_matches_xla_on_chip(monkeypatch):
     assert np.abs(a - b).max() < 1e-5 * max(np.abs(b).max(), 1e-30)
 
 
+def test_sharded_pallas_compiled_on_chip():
+    """Pallas kernels under ``shard_map``, COMPILED on the real chip (the
+    CPU-lane twin ``test_sharding.py::test_sharded_pallas_path`` only ever
+    runs them in interpret mode, which hides Mosaic miscompiles): build a
+    1-device mesh on the TPU and require the sharded result to equal the
+    single-device Pallas result to the tight 5e-4 bound."""
+    import jax
+    import jax.numpy as jnp
+    from tomobar_tpu.geometry import Geometry
+    from tomobar_tpu.ops import projector_pallas
+    from tomobar_tpu.parallel.sharding import ShardedProjector, make_mesh
+
+    N, nz, A = 128, 2, 24
+    rng = np.random.default_rng(5)
+    angles = np.linspace(0, np.pi, A, endpoint=False)
+    geom = Geometry(detectors_x=N, detectors_y=nz, angles=angles, recon_size=N)
+    vol = jnp.asarray(rng.standard_normal((nz, N, N)), jnp.float32)
+    sino = jnp.asarray(rng.standard_normal((nz, A, N)), jnp.float32)
+
+    assert not projector_pallas._INTERPRET[0]
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    sp = ShardedProjector(geom, mesh)
+    fp_s = np.asarray(jax.jit(sp.fp)(sp.device_put_vol(vol)))
+    bp_s = np.asarray(jax.jit(sp.bp)(sp.device_put_sino(sino)))
+    fp_p = np.asarray(jax.jit(lambda v: projector_pallas.radon_fp_pallas(v, geom))(vol))
+    bp_p = np.asarray(jax.jit(lambda s: projector_pallas.radon_bp_pallas(s, geom))(sino))
+    assert np.abs(fp_s - fp_p).max() < 5e-4 * np.abs(fp_p).max()
+    assert np.abs(bp_s - bp_p).max() < 5e-4 * np.abs(bp_p).max()
+
+
+def test_sharded_direct_compiled_on_chip():
+    """ShardedDirect FBP + FOURIER_INV compiled on a 1-device TPU mesh
+    (the z-slab shard_map path with the Pallas USFFT gridding inside)
+    against the single-device pipeline."""
+    import jax
+    import jax.numpy as jnp
+    from tomobar_tpu.models.direct import RecToolsDIRTPU
+    from tomobar_tpu.parallel import ShardedDirect
+    from tomobar_tpu.parallel.sharding import make_mesh
+
+    N, nz, A = 128, 4, 32
+    rng = np.random.default_rng(6)
+    angles = np.linspace(0, np.pi, A, endpoint=False).astype(np.float32)
+    rt = RecToolsDIRTPU(N, 0, nz, 0.0, angles, N)
+    data = jnp.asarray(rng.standard_normal((nz, A, N)), jnp.float32)
+
+    fi_ref = np.asarray(jax.jit(lambda d: rt.FOURIER_INV(d))(data))
+    fbp_ref = np.asarray(
+        jax.jit(lambda d: rt.FBP(jnp.swapaxes(d, 0, 1)))(data)
+    )
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    sd = ShardedDirect(rt, mesh)
+    d = sd.device_put_sino(data)
+    fi_s = np.asarray(jax.jit(sd.fourier_inv)(d))
+    fbp_s = np.asarray(jax.jit(sd.fbp)(d))
+    assert np.abs(fi_s - fi_ref).max() < 5e-4 * np.abs(fi_ref).max()
+    assert np.abs(fbp_s - fbp_ref).max() < 5e-4 * np.abs(fbp_ref).max()
+
+
 def test_strided_roll_nonwrapped_region_exact():
     """Regression probe for the Mosaic strided-rotate artifact: lanes in
     the non-wrapped region must match jnp.roll per sublane exactly for the

@@ -49,14 +49,23 @@ def pd_tv_bytes(nz, ny, nx, sweeps):
     return 9.0 * nz * ny * nx * 4.0 * sweeps
 
 
-def stage_report(name, dt, flops=None, bytes_moved=None):
+def stage_report(name, dt, flops=None, bytes_moved=None, peak=None,
+                 peak_name="VPU"):
+    """Print + record one stage: ms, achieved GF/s vs ``peak`` (default
+    the VPU roofline; pass an MXU-derived peak for matmul stages), and
+    effective HBM GB/s when ``bytes_moved`` is given."""
+    if peak is None:
+        peak = _VPU_PEAK
+    dt = max(dt, 1e-9)
     parts = [f"{name:26s} {dt * 1e3:9.2f} ms"]
     rec = {"ms": round(dt * 1e3, 2)}
     if flops:
         gfs = flops / dt
         rec["gflops"] = round(gfs / 1e9, 1)
-        rec["vpu_util"] = round(gfs / _VPU_PEAK, 3)
-        parts.append(f"{gfs / 1e9:8.0f} GF/s ({100 * gfs / _VPU_PEAK:5.1f}% VPU)")
+        rec[f"{peak_name.lower()}_util"] = round(gfs / peak, 3)
+        parts.append(
+            f"{gfs / 1e9:8.0f} GF/s ({100 * gfs / peak:5.1f}% {peak_name})"
+        )
     if bytes_moved:
         bw = bytes_moved / dt
         rec["hbm_gbs"] = round(bw / 1e9, 1)

@@ -1,0 +1,158 @@
+"""Per-stage timing + roofline audit of FOURIER_INV (the log-polar path).
+
+The reference sweats this path hardest (``fft_us_kernels.cu:105-527``'s
+centre-gather and angle-range pruning exist purely for speed;
+``CHANGELOG.md:64`` claims "significantly faster than FBP"), so "fast"
+needs per-stage evidence, like ``bench/breakdown.py`` provides for FISTA.
+
+Stages (ops/usfft.py pipeline, bench shape nz x nproj x N):
+
+* ``filter``  — STEP0 oversampled FBP filtering (forward+inverse split
+  FFT at ow = 2^ceil(log2(3N)) per (z, angle) row).
+* ``fft1d``   — STEP1 pack pairs + length-n split FFT + fftshift scale.
+* ``grid``    — STEP2 Pallas banded-matmul gridding onto (2n, 2n).
+* ``ifft2``   — STEP3 checkerboard + half-pixel ramp + split ifft2 at 2n.
+* ``unpad``   — STEP4 crop + phi multiply + pair unpack (HBM-bound).
+
+For the split-FFT stages the useful-work model is the Bailey four-step
+MAC count (4 real matmuls per complex DFT): ``macs_per_row(n) =
+4 * n * sum(B_i + C_i)`` over the recursive factorisation, reported
+against the *f32-effective* MXU peak (bf16 peak / 3 — every matmul runs
+as a bf16x3 triple).  ``unpad``/elementwise stages report HBM GB/s.
+
+Run:  python -m tomobar_tpu.bench.fourier_breakdown
+"""
+
+import json
+import os
+
+import numpy as np
+
+from tomobar_tpu.bench.breakdown import _HBM_PEAK, _MXU_PEAK, stage_report
+
+_MXU_F32_EFF = _MXU_PEAK / 3.0  # bf16x3 operand-split triples
+
+
+def _fft_macs_per_row(n: int) -> float:
+    """4 real-matmul MACs per complex split-DFT of length n (recursive
+    Bailey factorisation, mirrors ops/fft_real._fft_last)."""
+    from tomobar_tpu.ops.fft_real import _MAX_MATMUL_N, _best_split
+
+    if n <= _MAX_MATMUL_N:
+        return 4.0 * n * n
+    B, C = _best_split(n)
+    # B-point DFTs on C columns + twiddle + C-point DFTs on B rows
+    return (C * _fft_macs_per_row(B) + B * _fft_macs_per_row(C)
+            + 8.0 * n)  # twiddle FMA (4 mul + 4 add per complex point)
+
+
+def fourier_breakdown(N, nz, nproj, reps=5):
+    import jax
+    import jax.numpy as jnp
+
+    from tomobar_tpu.bench.harness import time_fn
+    from tomobar_tpu.geometry import Geometry
+    from tomobar_tpu.models.direct import RecToolsDIRTPU
+    from tomobar_tpu.ops import usfft as U
+
+    angles = np.linspace(0, np.pi, nproj, endpoint=False).astype(np.float32)
+    model = RecToolsDIRTPU(N, 0, nz, 0.0, angles, N)
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.standard_normal((nz, nproj, N)).astype(np.float32))
+
+    n = N  # no padding in the bench config
+    import math
+
+    ow = 2 ** math.ceil(math.log2(n * 3))
+    eps = 1e-4
+    mu = -np.log(eps) / (2 * n * n)
+    theta = -np.asarray(model.geom.angles, dtype=np.float64)
+
+    out = {"shape": f"{nproj}x{nz}x{N}", "oversampled_width": ow}
+
+    # --- stage callables (jitted separately) -------------------------------
+    filt = jax.jit(
+        lambda d: U._fbp_filter_stage(d, n, n, "shepp", 1.0, 0.5)
+    )
+    filtered = filt(data)
+
+    def fft1d_fn(f):
+        dre, dim = U._pack_pairs(f)
+        from tomobar_tpu.ops.fft_real import fft_pairs
+
+        sre, sim = fft_pairs(dre, dim)
+        sign = jnp.where(jnp.arange(n) % 2 == 1, 1.0, -1.0).astype(jnp.float32)
+        return sre * (sign * (4.0 / n)), sim * (sign * (4.0 / n))
+
+    fft1d = jax.jit(fft1d_fn)
+    dre, dim = jax.jit(lambda f: U._pack_pairs(f))(filtered)
+    grid = jax.jit(
+        lambda r, i: U.usfft_grid_dispatch(r, i, n, theta, eps)
+    )
+    fre, fim = grid(dre, dim)
+    ifft2 = jax.jit(lambda r, i: U._ifft2_centered(r, i, n))
+    gre, gim = ifft2(fre, fim)
+    unpad = jax.jit(
+        lambda r, i: U._unpad_mul_phi(r, i, n, nproj, nz, False, False, N, mu)
+    )
+
+    full = jax.jit(lambda d: U.fourier_inv(model, d))
+
+    # --- useful-work models -------------------------------------------------
+    rows_filter = nz * nproj
+    # forward + inverse oversampled transform per row
+    filter_macs = rows_filter * 2 * _fft_macs_per_row(ow)
+    rows_1d = (nz // 2) * nproj
+    fft1d_macs = rows_1d * _fft_macs_per_row(n)
+    pairs = nz // 2
+    # ifft2: 2n-length transforms along both axes of a (2n, 2n) grid/pair
+    ifft2_macs = pairs * 2 * (2 * n) * _fft_macs_per_row(2 * n)
+    unpad_bytes = pairs * 2 * (2 * n) * (2 * n) * 4 + nz * N * N * 4
+
+    # --- measure ------------------------------------------------------------
+    res = {}
+    t = time_fn(filt, data, reps=reps)
+    res["filter"] = stage_report(
+        f"filter (ow={ow})", t, flops=2 * filter_macs, peak=_MXU_F32_EFF,
+        peak_name="MXUf32",
+    )
+    t = time_fn(lambda d: fft1d(d), filtered, reps=reps)
+    res["fft1d"] = stage_report(
+        "pack + fft1d", t, flops=2 * fft1d_macs, peak=_MXU_F32_EFF,
+        peak_name="MXUf32",
+    )
+    t = time_fn(lambda a: grid(*a), (dre, dim), reps=reps)
+    res["grid"] = stage_report("usfft gridding", t)
+    t = time_fn(lambda a: ifft2(*a), (fre, fim), reps=reps)
+    res["ifft2"] = stage_report(
+        f"ifft2 ({2*n}^2)", t, flops=2 * ifft2_macs, peak=_MXU_F32_EFF,
+        peak_name="MXUf32",
+    )
+    t = time_fn(lambda a: unpad(*a), (gre, gim), reps=reps)
+    res["unpad"] = stage_report("unpad * phi", t, bytes_moved=unpad_bytes)
+    t = time_fn(full, data, reps=reps)
+    res["total_ms"] = round(t * 1e3, 2)
+    ssum = sum(v["ms"] for v in res.values() if isinstance(v, dict))
+    res["stage_sum_ms"] = round(ssum, 2)
+    print(f"{'total':26s} {res['total_ms']:9.2f} ms   (stage sum {ssum:.2f})")
+    out["stages"] = res
+    return out
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/jax_cache_tomobar_bench"
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    N = int(os.environ.get("TOMOBAR_BENCH_N", 2560))
+    nz = int(os.environ.get("TOMOBAR_BENCH_NZ", 8))
+    nproj = int(os.environ.get("TOMOBAR_BENCH_NPROJ", 1801))
+    print(json.dumps(fourier_breakdown(N, nz, nproj)))
+
+
+if __name__ == "__main__":
+    main()

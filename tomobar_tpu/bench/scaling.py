@@ -74,23 +74,83 @@ def run(N=None, nz_per_device=None, nproj=None, os_number=None, tv_iters=None):
         dt = time_fn(step, x, sino, warmup=1, reps=3)
         return 1.0 / dt
 
+    def iter_rate_angles(n_a_devices: int) -> float:
+        """Strong scaling over the angle (psum) axis: the global problem is
+        fixed at nz_per_device slabs; each device projects its angle shard
+        of every subset and gradients reduce with psum over ICI."""
+        nz = nz_per_device
+        geom = Geometry(
+            detectors_x=N, detectors_y=nz, angles=angles, recon_size=N,
+            os_number=os_number,
+        )
+        mesh = make_mesh(1, n_a_devices, devices=jax.devices()[:n_a_devices])
+        sp = ShardedProjector(geom, mesh)
+        key = jax.random.PRNGKey(0)
+        sino = jax.device_put(
+            jax.random.uniform(key, (nz, nproj, N), dtype=jnp.float32),
+            NamedSharding(mesh, sp.sino_spec),
+        )
+        x = jax.device_put(
+            jnp.zeros((nz, N, N), dtype=jnp.float32),
+            NamedSharding(mesh, sp.vol_spec),
+        )
+        L_inv = jnp.float32(1.0 / 5000.0)
+
+        def outer_iter(x, sino):
+            for s in range(len(sp.subset_indices)):
+                res = sp.fp_sub(x, s) - sp.sino_subset(sino, s)
+                x = jnp.maximum(x - L_inv * sp.bp_sub(res, s), 0.0)
+                x = PD_TV(x, 1e-4, tv_iters, 0, 1, 12.0)
+            return x
+
+        step = jax.jit(outer_iter)
+        dt = time_fn(step, x, sino, warmup=1, reps=3)
+        return 1.0 / dt
+
     r1 = iter_rate(1)
     rN = iter_rate(n_dev)
     eff = rN / r1  # weak scaling: per-device work constant -> ideal 1.0
-    print(
-        json.dumps(
-            {
-                "metric": f"weak-scaling efficiency z-axis 1->{n_dev} devices "
-                f"({nproj}x{nz_per_device}/dev x{N}, FISTA-OS{os_number}-TV)",
-                "value": round(eff, 4),
-                "unit": "efficiency",
-                "iter_s_1dev": round(r1, 4),
-                f"iter_s_{n_dev}dev": round(rN, 4),
-                "vs_baseline": round(eff / 0.8, 4),
-            }
-        )
-    )
-    return eff
+    ra1 = iter_rate_angles(1)
+    raN = iter_rate_angles(n_dev)
+    eff_a = raN / (ra1 * n_dev)  # strong scaling: ideal speedup = n_dev
+    # On virtual CPU meshes N "devices" share the host's physical cores,
+    # so raw weak-scaling efficiency conflates sharding overhead with
+    # core oversubscription (ideal is cores/N, not 1).  The throughput
+    # ratio — total slab-iterations/s at N devices vs 1 device on the
+    # SAME hardware — isolates the sharding/runtime overhead and is the
+    # honest CPU-proxy number; on real pods (1 device = 1 chip) the raw
+    # efficiency is the metric.
+    import multiprocessing
+
+    cores = multiprocessing.cpu_count()
+    tput_eff = (rN * n_dev) / r1  # total-work throughput ratio (ideal 1.0
+    #                               when devices share saturated cores)
+    out = {
+        "metric": f"scaling efficiency to {n_dev} devices "
+        f"({nproj}x{nz_per_device}/dev x{N}, FISTA-OS{os_number}-TV)",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "platform": jax.devices()[0].platform,
+        "physical_cores": cores,
+        "oversubscribed": n_dev > cores and jax.devices()[0].platform == "cpu",
+        "z_axis": {
+            "mode": "weak (nz_per_device fixed; no collectives)",
+            "iter_s_1dev": round(r1, 4),
+            f"iter_s_{n_dev}dev": round(rN, 4),
+            "efficiency_raw": round(eff, 4),
+            "throughput_ratio": round(tput_eff, 4),
+        },
+        "angles_axis": {
+            "mode": "strong (global problem fixed; psum-reduced gradients)",
+            "iter_s_1dev": round(ra1, 4),
+            f"iter_s_{n_dev}dev": round(raN, 4),
+            "speedup": round(raN / ra1, 4),
+            "efficiency": round(eff_a, 4),
+        },
+        "vs_baseline": round(eff / 0.8, 4),
+    }
+    print(json.dumps(out))
+    return out
 
 
 if __name__ == "__main__":

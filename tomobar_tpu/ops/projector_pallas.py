@@ -63,19 +63,27 @@ import os as _os
 # in VMEM in K4 — larger is less HBM traffic until VMEM runs out
 _AB = int(_os.environ.get("TOMOBAR_TPU_AB", "16"))
 # the FP shear kernel pipelines better with a larger angle block (less
-# volume re-streaming); the BP unshear kernel's q+qd blocks double the
-# VMEM working set, where 32 regresses 2x — so the two sides decouple
+# volume re-streaming), and since the K4 qd precompute moved into a VMEM
+# scratch (halving the unshear working set) the BP side prefers 32 too
+# (measured -4% BP at the flagship shape vs 16); the packed nz==1
+# variants keep _AB — all three decouple via env knobs
 _AB_FP = int(_os.environ.get("TOMOBAR_TPU_AB_FP", "32"))
+_AB_BP = int(_os.environ.get("TOMOBAR_TPU_AB_BP", "32"))
 _TT = 128  # resample output tile (lanes)
 _TW = 512  # resample input window (covers 128*sqrt(2) + align + slack)
 _UT = 128  # resample-transpose output tile
 # t-window per u-tile: up to 127/|alpha| <= 127 samples + kernel margin
 # + up to 128 lost to 128-alignment of the window start => 384 lanes
 _PW = 384
-# bytes for the (YB, nz, NXP) volume block: K4 re-fetches the q/qd angle
+# bytes for the (YB, nz, NXP) volume block: K4 re-fetches the q angle
 # blocks once per row block, so a larger YB directly divides that traffic
+# and amortises the in-kernel qd build; the K1 streamed-input side stays
+# at a small block (larger regressed FP in measurement)
 _YB_VMEM_BUDGET = int(
     _os.environ.get("TOMOBAR_TPU_YB_BYTES", str(2 * 1024 * 1024))
+)
+_YB_VMEM_BUDGET_BP = int(
+    _os.environ.get("TOMOBAR_TPU_YB_BYTES_BP", str(8 * 1024 * 1024))
 )
 
 
@@ -209,21 +217,22 @@ def bp_driven_pallas_from_data(sino, cos_v, sin_v, cor_v, ny: int, nx: int):
     det_x = sino.shape[2]
     packed = nz == 1 and ny % 8 == 0 and ny == nx
     prm = _driven_params_traced(
-        cos_v, sin_v, cor_v, det_x, ny, nx, packed=packed
+        cos_v, sin_v, cor_v, det_x, ny, nx, packed=packed,
+        ab=_AB if packed else _AB_BP,
     )
     return _over_z(
         lambda s: _bp_driven_pallas(s, prm, ny, nx),
         (sino.astype(jnp.float32),),
         nz,
-        2 * prm.LU,
+        prm.LU,
         prm.AB,
     )
 
 
-def _pick_yb(ny: int, nz: int, nxp: int) -> int:
+def _pick_yb(ny: int, nz: int, nxp: int, budget: int = _YB_VMEM_BUDGET) -> int:
     """Largest row block that divides ny and keeps the streamed volume
     block within the VMEM budget."""
-    cap = max(1, _YB_VMEM_BUDGET // max(1, nz * nxp * 4))
+    cap = max(1, budget // max(1, nz * nxp * 4))
     for yb in (256, 128, 64, 32, 16, 8, 4, 2):
         if yb <= cap and ny % yb == 0:
             return yb
@@ -446,18 +455,24 @@ def _resample_bp_kernel(alpha_ref, gamma_ref, p_ref, q_ref, *, U0, TP, det_x, LU
 # ---------------------------------------------------------------------------
 
 
-def _unshear_bp_kernel(beta_ref, q_ref, qd_ref, vol_ref, *, YB, U0, NXP, ny, AB):
+def _unshear_bp_kernel(beta_ref, q_ref, vol_ref, qd_ref, *, YB, U0, NXP, ny, AB):
     """One dynamic roll per (row, angle):
-    (1-f)*q[o+j] + f*q[o+j-1] == q[o+j] - f*d[o+j]  with d[u] = q[u]-q[u-1],
-    and since roll is linear with a scalar f, that's roll(win - f*dwin) —
-    ``d`` is precomputed once per angle in XLA (a second roll inside the
-    kernel costs as much as everything else combined)."""
+    (1-f)*q[o+j] + f*q[o+j-1] == q[o+j] - f*d[o+j]  with d[u] = q[u]-q[u-1].
+    ``d`` is computed once per (row-block, angle-block) grid step into a
+    VMEM scratch (``qd_ref``): a per-(row, angle) roll would cost as much
+    as everything else combined, but one static roll per q block amortises
+    over YB rows (2*LU/(3*NXP*YB) of the row-loop work, ~2% at YB=64) and
+    removes the HBM-streamed qd operand entirely — halving the kernel's
+    VMEM working set (z-chunks double) and the q-side HBM traffic."""
     yb = pl.program_id(0)
     ab = pl.program_id(1)
 
     @pl.when(ab == 0)
     def _():
         vol_ref[...] = jnp.zeros_like(vol_ref)
+
+    q_blk = q_ref[...]
+    qd_ref[...] = q_blk - pltpu.roll(q_blk, 1, 2)
 
     cy = (ny - 1) / 2.0
 
@@ -680,7 +695,7 @@ def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
     """sino (nz, A, det_x) -> vol (nz, ny, nx) for one driven group."""
     nz = sino.shape[0]
     A_pad = prm.alpha.shape[0]
-    YB = _pick_yb(ny, nz, prm.NXP)
+    YB = _pick_yb(ny, nz, prm.NXP, _YB_VMEM_BUDGET_BP)
     TP = _round_up(prm.det_x, 128) + _PW  # padded detector lanes
 
     p = jnp.swapaxes(sino, 0, 1)  # (A, nz, det_x)
@@ -762,11 +777,9 @@ def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
             vol_t[:, :, _BP_OUT_OFF : _BP_OUT_OFF + nx], 0, 1
         )  # (nz, ny, nx)
 
-    # backward-difference lines d[u] = q[u] - q[u-1], once per angle (the
-    # kernel then needs a single dynamic roll per (row, angle)).  The u = 0
-    # wrap is harmless: windows never start at 0 (U0 headroom).
-    qd = q - jnp.roll(q, 1, axis=2)
-
+    # backward-difference lines d[u] = q[u] - q[u-1] are built in-kernel
+    # (VMEM scratch, one static roll per grid step — see kernel notes).
+    # The u = 0 wrap is harmless: windows never start at 0 (U0 headroom).
     vol_t = pl.pallas_call(
         partial(_unshear_bp_kernel, YB=YB, U0=prm.U0, NXP=prm.NXP, ny=ny, AB=prm.AB),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -777,22 +790,21 @@ def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
                     (prm.AB, nz, prm.LU), lambda yb, ab, *_: (ab, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec(
-                    (prm.AB, nz, prm.LU), lambda yb, ab, *_: (ab, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
             ],
             out_specs=pl.BlockSpec(
                 (YB, nz, prm.NXP), lambda yb, ab, *_: (yb, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            scratch_shapes=[
+                pltpu.VMEM((prm.AB, nz, prm.LU), jnp.float32)
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct((ny, nz, prm.NXP), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_INTERPRET[0],
-    )(beta, q, qd)
+    )(beta, q)
 
     return jnp.swapaxes(vol_t[:, :, :nx], 0, 1)  # (nz, ny, nx)
 
@@ -813,6 +825,10 @@ _Z_BLOCK_BYTES = 6 * 1024 * 1024
 
 def _z_chunk(nz: int, lu: int, ab: int = _AB) -> int:
     cap = max(1, _Z_BLOCK_BYTES // (ab * lu * 4))
+    if cap >= 8:
+        # z rides the sublane axis inside the kernels: snap chunks to
+        # whole 8-sublane tiles so no chunk pads 8-k dead sublanes
+        cap = (cap // 8) * 8
     return min(nz, cap)
 
 
@@ -885,25 +901,25 @@ def radon_bp_pallas(sino: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
     if idx_x.size:
         prm = _driven_params(
             cos_v[idx_x], sin_v[idx_x], cor[idx_x], det_x, n, n,
-            packed=packed,
+            packed=packed, ab=_AB if packed else _AB_BP,
         )
         vol = vol + _over_z(
             lambda s: _bp_driven_pallas(s, prm, n, n),
             (sino[:, idx_x, :],),
             nz,
-            2 * prm.LU,  # q + qd angle blocks both live in VMEM
+            prm.LU,
             prm.AB,
         )
     if idx_y.size:
         prm = _driven_params(
             sin_v[idx_y], cos_v[idx_y], cor[idx_y], det_x, n, n,
-            packed=packed,
+            packed=packed, ab=_AB if packed else _AB_BP,
         )
         vol = vol + _over_z(
             lambda s: _bp_driven_pallas(s, prm, n, n),
             (sino[:, idx_y, :],),
             nz,
-            2 * prm.LU,  # q + qd angle blocks both live in VMEM
+            prm.LU,
             prm.AB,
         ).swapaxes(1, 2)
     return vol[0] if squeeze else vol
