@@ -239,6 +239,18 @@ def main():
     except Exception:
         traceback.print_exc()
 
+    if os.environ.get("TOMOBAR_BENCH_NORTHSTAR", "1") == "1":
+        try:
+            # the BASELINE.json metric itself: time-to-RMSE at 2560^2 x 20
+            # with converging data (real phantom + Poisson noise +
+            # powermethod L) — see tomobar_tpu/bench/northstar.py
+            from tomobar_tpu.bench.northstar import run_northstar
+
+            extra["northstar"] = run_northstar(N=N, nz=20, nproj=nproj,
+                                               os_number=os_number)
+        except Exception:
+            traceback.print_exc()
+
     try:
         extra["admm3d_os24_iter_s"] = round(
             bench_admm3d(N, nz, nproj, iters, tv_iters), 4
