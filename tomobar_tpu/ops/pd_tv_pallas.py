@@ -58,7 +58,7 @@ def pd_tv_pallas_supported(shape) -> bool:
 
 def _level_update(
     c, u_sc, p1_sc, p2_sc, p3_sc, u_next_head, data_blk,
-    *, YB, ny, nz, nx, sigma, tau, lt, theta, method_tv, nonneg,
+    *, YB, ny, nz, nzl, nx, sigma, tau, lt, theta, method_tv, nonneg,
 ):
     """One PD-TV iteration for output block ``c`` (rows c*YB .. c*YB+YB-1).
 
@@ -87,10 +87,13 @@ def _level_update(
     u_xm = pltpu.roll(u_ext, 1, 2)  # u[x-1]
     dx = jnp.where(lane == nx - 1, u_xm - u_ext, u_xp - u_ext)
     dy = jnp.where(row_g == ny - 1, u_ext_prev - u_ext, u_ext_next - u_ext)
-    if nz > 1:
+    if nzl > 1:
         u_zp = pltpu.roll(u_ext, nz - 1, 1)
         u_zm = pltpu.roll(u_ext, 1, 1)
-        dz = jnp.where(zidx == nz - 1, u_zm - u_ext, u_zp - u_ext)
+        # masks use the LOGICAL slice count: z may be padded to a full
+        # 8-sublane tile (physical nz) with garbage slices beyond nzl,
+        # which the reflect mask keeps out of the real range
+        dz = jnp.where(zidx == nzl - 1, u_zm - u_ext, u_zp - u_ext)
     else:
         dz = jnp.zeros_like(u_ext)
 
@@ -99,7 +102,7 @@ def _level_update(
     p2n = p2_sc.astype(jnp.float32) + sigma * dy
     p3n = p3_sc.astype(jnp.float32) + sigma * dz
     if method_tv == 0:  # isotropic joint projection
-        denom = p1n * p1n + p2n * p2n + (p3n * p3n if nz > 1 else 0.0)
+        denom = p1n * p1n + p2n * p2n + (p3n * p3n if nzl > 1 else 0.0)
         scale = jnp.where(
             denom > 1.0, jax.lax.rsqrt(jnp.maximum(denom, 1e-30)), 1.0
         )
@@ -127,7 +130,7 @@ def _level_update(
     p1_xm = pltpu.roll(p1c, 1, 2)  # P1 at (x-1)
     div = p1c - jnp.where(lane_c == 0, 0.0, p1_xm)
     div = div + p2c - jnp.where(row_c == 0, 0.0, p2_ym)
-    if nz > 1:
+    if nzl > 1:
         p3_zm = pltpu.roll(p3c, 1, 1)
         div = div + p3c - jnp.where(zidx_c == 0, 0.0, p3_zm)
 
@@ -142,7 +145,7 @@ def _pd_tv_stream_kernel(
     data_ref, uc_ref, p1c_ref, p2c_ref, p3c_ref,
     uo_ref, p1o_ref, p2o_ref, p3o_ref,
     dring_ref, *scratch,
-    K, YB, ny, nz, nx, sigma, tau, lt, theta, method_tv, nonneg,
+    K, YB, ny, nz, nzl, nx, sigma, tau, lt, theta, method_tv, nonneg,
 ):
     """K-level wavefront: at grid step ``yb``, level k computes block
     ``yb - k`` of iteration k from level k-1's scratch; level 0 is the
@@ -159,7 +162,7 @@ def _pd_tv_stream_kernel(
 
     upd = partial(
         _level_update,
-        YB=YB, ny=ny, nz=nz, nx=nx, sigma=sigma, tau=tau, lt=lt,
+        YB=YB, ny=ny, nz=nz, nzl=nzl, nx=nx, sigma=sigma, tau=tau, lt=lt,
         theta=theta, method_tv=method_tv, nonneg=nonneg,
     )
 
@@ -214,18 +217,28 @@ def pd_tv_pallas(
     assert pd_tv_pallas_supported(data.shape)
     dual_dtype = jnp.bfloat16 if half_precision else jnp.float32
 
+    # thin slabs: pad z to a full 8-sublane tile (partial sublane tiles
+    # measured ~1.8x SLOWER than full ones on v5e — Mosaic relayouts in
+    # the scratch rotations); the z-boundary masks use the logical nzl so
+    # the padded garbage slices never couple into the real range
+    nzl = nz
+    if 1 < nz < 8:
+        nz = 8
+
     tau = float(regularisation_parameter) * 0.1
     sigma = 1.0 / (float(lipschitz_const) * tau)
     theta = 1.0
     lt = tau / float(regularisation_parameter)
 
     data_t = jnp.swapaxes(data.astype(jnp.float32), 0, 1)  # (ny, nz, nx)
+    if nz != nzl:
+        data_t = jnp.pad(data_t, ((0, 0), (0, nz - nzl), (0, 0)), mode="edge")
     nb = ny // _YB
 
     def make_sweep(K: int):
         kernel = partial(
             _pd_tv_stream_kernel,
-            K=K, YB=_YB, ny=ny, nz=nz, nx=nx,
+            K=K, YB=_YB, ny=ny, nz=nz, nzl=nzl, nx=nx,
             sigma=float(sigma), tau=float(tau),
             lt=float(lt), theta=float(theta),
             method_tv=int(methodTV), nonneg=bool(nonneg),
@@ -291,4 +304,4 @@ def pd_tv_pallas(
     if rem:
         carry = tuple(make_sweep(rem)(*((data_t,) + tuple(carry[:4]))))
     u = carry[0]
-    return jnp.swapaxes(u, 0, 1)
+    return jnp.swapaxes(u[:, :nzl, :], 0, 1)

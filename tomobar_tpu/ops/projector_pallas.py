@@ -59,8 +59,9 @@ _INTERPRET = [False]  # test hook: run the kernels in interpret mode
 import os as _os
 
 # angles per shear-kernel pass: the volume is streamed from HBM
-# ceil(A/_AB) times in K1 and the q/qd blocks sized (2*_AB, nz, LU) live
-# in VMEM in K4 — larger is less HBM traffic until VMEM runs out
+# ceil(A/_AB) times in K1, and K4 keeps a q block plus a same-sized qd
+# scratch, each (_AB, nz, LU), in VMEM — larger is less HBM traffic
+# until VMEM runs out
 _AB = int(_os.environ.get("TOMOBAR_TPU_AB", "16"))
 # the FP shear kernel pipelines better with a larger angle block (less
 # volume re-streaming), and since the K4 qd precompute moved into a VMEM

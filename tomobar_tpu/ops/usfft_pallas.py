@@ -48,9 +48,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["usfft_grid_pallas"]
 
-_RB = 128  # output grid rows per block
-_RW = 128  # polar-sample window (needs ~0.71*(RB+2m+2)+2; m<=18 fits)
-_CW = 384  # column window (covers sqrt(2)*RW + 2m+2 + 128 alignment loss)
+import os as _os
+
+_RB = int(_os.environ.get("TOMOBAR_TPU_USFFT_RB", "128"))  # grid rows per block
+_RW = int(_os.environ.get("TOMOBAR_TPU_USFFT_RW", "128"))  # polar-sample window
+#   (needs ~0.71*(RB+2m+2)+2; m<=18 fits at the defaults)
+_CW = int(_os.environ.get("TOMOBAR_TPU_USFFT_CW", "384"))  # column window
+#   (covers RB*|c/s| <= RB, + 2m+2 taps + up to 128 alignment loss)
 _ACH = 8  # angles per grid step
 _ROW_PAD = 128  # extended-grid row margin (wrap fold)
 _COL_PAD = 256  # extended-grid column margin (wrap fold)
@@ -108,11 +112,15 @@ def _grid_kernel(
         c0g = (c0t - _COL_PAD).astype(jnp.float32)
 
         # ---- row-side weights A (RB, RW): coeff0 * K1, exact tap cutoff
+        # exp2 with log2(e) folded into cc2: the VPU's native base-2
+        # transcendental is markedly cheaper than exp's lowering, and this
+        # kernel is weight-build (VPU) bound, not MXU bound
+        cc2 = cc * 1.4426950408889634
         rj = r0.astype(jnp.float32) + j_row
         ry = jnp.minimum(n - 2.0 * s * (rj - half), cap)
         d1 = (rb_lo + i_row) - ry
         f1 = (rb_lo + i_row) - jnp.floor(ry)
-        a_w = coeff0 * jnp.exp(cc * d1 * d1)
+        a_w = coeff0 * jnp.exp2(cc2 * d1 * d1)
         a_w = jnp.where((f1 >= -m) & (f1 <= m), a_w, 0.0)
 
         # ---- column-side weights W0 (RW, CW): K0, exact tap cutoff
@@ -120,7 +128,7 @@ def _grid_kernel(
         cx = jnp.minimum(n + 2.0 * c * (rjc - half), cap)
         d0 = (c0g + l_col) - cx
         f0 = (c0g + l_col) - jnp.floor(cx)
-        w0 = jnp.exp(cc * d0 * d0)
+        w0 = jnp.exp2(cc2 * d0 * d0)
         w0 = jnp.where((f0 >= -m) & (f0 <= m), w0, 0.0)
 
         # ---- fold g into A per channel and pair, one stacked
