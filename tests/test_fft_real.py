@@ -75,3 +75,23 @@ def test_apply_freq_filter_real(R):
     )
     ref = np.real(np.fft.ifft(np.fft.fft(x, axis=-1) * w, axis=-1))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("n,L", [(2560, 256), (1280, 512)])
+def test_fused_axis2_matches_plain(n, L, monkeypatch):
+    """The fused Pallas axis-(-2) pass (interpret mode) must match the
+    plain split path and numpy along the second-to-last axis."""
+    B, C = FR._best_split(n)
+    assert 1 < B <= 8 and C <= FR._MAX_MATMUL_N
+    rng = np.random.RandomState(11)
+    x = (rng.rand(2, n, L) + 1j * rng.rand(2, n, L)).astype(np.complex64)
+    re = np.ascontiguousarray(x.real)
+    im = np.ascontiguousarray(x.imag)
+    monkeypatch.setattr(FR, "_FFT_INTERPRET", [True])
+    monkeypatch.setattr(FR, "use_native_complex_fft", lambda: False)
+    fre, fim = FR._fft_axis2_fused(
+        FR.jnp.asarray(re), FR.jnp.asarray(im), -1, B, C
+    )
+    ref = np.fft.fft(x, axis=-2)
+    got = np.asarray(fre) + 1j * np.asarray(fim)
+    np.testing.assert_allclose(got, ref, atol=4e-4 * np.abs(ref).max())
