@@ -84,6 +84,10 @@ class RecToolsIRTPU:
         self.Atools = Projector(self._geometry)
         self.data_fidelity = "LS"
         self.nonneg_regul = 0
+        # compiled verbose-mode outer steps, keyed by every non-array value
+        # the step closes over (see solvers.core._host_outer_loop) — repeat
+        # verbose FISTA/ADMM calls on the same instance reuse the compile
+        self._verbose_step_cache: dict = {}
 
     # ------------------------------------------------------------------ API
 
@@ -152,6 +156,32 @@ class RecToolsIRTPU:
             return None
         return lambda x: prox_regul(self, x, _regularisation_)
 
+    def _step_key(self, method: str, d: dict, a: dict, r):
+        """Hashable fingerprint of everything a verbose-mode outer step
+        closes over besides device arrays: solver scalars, fidelity
+        parameters and the regularisation dict (nonneg_regul rides in via
+        a)."""
+
+        def items(dd):
+            if not dd:
+                return ()
+            return tuple(
+                (k, v)
+                for k, v in sorted(dd.items())
+                if isinstance(v, (int, float, str, bool, type(None)))
+            )
+
+        return (
+            method,
+            d.get("data_fidelity"),
+            items({k: d.get(k) for k in (
+                "beta_SWLS", "huber_threshold", "studentst_threshold")}),
+            items({k: a.get(k) for k in (
+                "lipschitz_const", "nonnegativity", "ADMM_rho_const",
+                "ADMM_relax_par")}),
+            items(r),
+        )
+
     # -------------------------------------------------------------- solvers
 
     def powermethod(self, _data_: dict) -> float:
@@ -216,6 +246,8 @@ class RecToolsIRTPU:
             fid_kwargs=self._fid_kwargs(d),
             tolerance=a.get("tolerance", 0.0),
             verbose=bool(a.get("verbose", False)),
+            step_cache=self._verbose_step_cache,
+            step_key=self._step_key("FISTA", d, a, r),
         )
         return self._finalise(x, a)
 
@@ -244,6 +276,8 @@ class RecToolsIRTPU:
             fid_kwargs=self._fid_kwargs(d),
             tolerance=a.get("tolerance", 0.0),
             verbose=bool(a.get("verbose", False)),
+            step_cache=self._verbose_step_cache,
+            step_key=self._step_key("ADMM", d, a, r),
         )
         return self._finalise(x, a)
 

@@ -222,6 +222,8 @@ def fista(
     fid_kwargs: Optional[dict] = None,
     tolerance: float = 0.0,
     verbose: bool = False,
+    step_cache: Optional[dict] = None,
+    step_key=None,
 ) -> jnp.ndarray:
     """FISTA with optional ordered subsets and proximal regularisation
     (``methodsIR_CuPy.py:401-484``).
@@ -272,6 +274,7 @@ def fista(
         return _host_outer_loop(
             "FISTA", sweep, (x0, x0, jnp.float32(1.0)), projector, sino,
             fidelity, fid_kwargs, iterations, tolerance,
+            step_cache=step_cache, step_key=step_key,
         )
 
     @jax.jit
@@ -311,29 +314,42 @@ def fista(
 
 def _host_outer_loop(
     name, sweep, init, projector, sino, fidelity, fid_kwargs, iterations,
-    tolerance, body_takes_iter=False,
+    tolerance, body_takes_iter=False, step_cache=None, step_key=None,
 ):
     """Host-driven outer loop for ``verbose`` solvers: one jitted sweep per
     outer iteration, progress printed from the host.
 
     The TPU deployment runtime rejects host callbacks (``jax.debug.print``),
     so in-jit printing is impossible; the per-iteration dispatch overhead is
-    the price of progress reporting and only paid when verbose is on."""
+    the price of progress reporting and only paid when verbose is on.
+
+    ``sweep`` is a fresh closure on every solver call, so ``jax.jit``'s
+    identity-keyed cache would recompile per invocation (the production
+    warm-start ADMM pattern runs verbose, ``Demos/RealData.py:228-235``).
+    Callers that hold a stable dict (the ``RecToolsIRTPU`` instance) pass
+    ``step_cache`` plus a ``step_key`` capturing every non-array value the
+    sweep closes over; a hit reuses the compiled step across calls."""
     w = _prepare_weights(sino, fidelity, fid_kwargs)
     subs, w_subs = _subset_slices(projector, sino, w)
 
-    @jax.jit
-    def step(it, carry, subs, w_subs):
-        x_prev = carry[0]
-        carry = (
-            sweep(it, carry, subs, w_subs)
-            if body_takes_iter
-            else sweep(carry, subs, w_subs)
-        )
-        rel = jnp.linalg.norm(jnp.ravel(carry[0] - x_prev)) / jnp.maximum(
-            jnp.linalg.norm(jnp.ravel(carry[0])), 1e-12
-        )
-        return carry, rel
+    step = step_cache.get(step_key) if step_cache is not None else None
+    if step is None:
+
+        @jax.jit
+        def step(it, carry, subs, w_subs):
+            x_prev = carry[0]
+            carry = (
+                sweep(it, carry, subs, w_subs)
+                if body_takes_iter
+                else sweep(carry, subs, w_subs)
+            )
+            rel = jnp.linalg.norm(jnp.ravel(carry[0] - x_prev)) / jnp.maximum(
+                jnp.linalg.norm(jnp.ravel(carry[0])), 1e-12
+            )
+            return carry, rel
+
+        if step_cache is not None and step_key is not None:
+            step_cache[step_key] = step
 
     carry = init
     for it in range(iterations):
@@ -360,6 +376,8 @@ def admm(
     fid_kwargs: Optional[dict] = None,
     tolerance: float = 0.0,
     verbose: bool = False,
+    step_cache: Optional[dict] = None,
+    step_key=None,
 ) -> jnp.ndarray:
     """Linearised + relaxed ADMM with ordered subsets
     (``methodsIR_CuPy.py:486-585``).  Note: relaxation activates from outer
@@ -412,6 +430,7 @@ def admm(
         return _host_outer_loop(
             "ADMM", body, init, projector, sino, fidelity, fid_kwargs,
             iterations, tolerance, body_takes_iter=True,
+            step_cache=step_cache, step_key=step_key,
         )
 
     @jax.jit
