@@ -36,6 +36,16 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+def on_real_device() -> bool:
+    """True on the real-TPU test lane (TOMOBAR_TPU_TEST_DEVICE=tpu).
+
+    Cross-kernel comparisons (packed vs unpacked Pallas variants, Pallas
+    vs XLA) are bit-identical on the CPU lane but differ at the bf16x3
+    matmul precision (~2^-17 relative) on chip; tests widen tolerances
+    accordingly."""
+    return not _USE_CPU
+
+
 def shepp_logan_slice(n: int) -> np.ndarray:
     """A simple Shepp-Logan-like phantom slice (ellipse superposition)."""
     # (value, a, b, x0, y0, phi_deg)

@@ -25,7 +25,12 @@ def main():
     artifact = sys.argv[1] if len(sys.argv) > 1 else "TPU_LANE.json"
     env = dict(os.environ)
     env["TOMOBAR_TPU_TEST_DEVICE"] = "tpu"
-    env["PYTHONPATH"] = REPO
+    # PREPEND the repo: the ambient PYTHONPATH carries the site hook that
+    # registers the remote-TPU jax plugin — dropping it leaves
+    # JAX_PLATFORMS pointing at an unregistered backend
+    env["PYTHONPATH"] = REPO + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     t0 = time.time()
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=line",
