@@ -8,7 +8,20 @@ its numerics to numpy's pocketfft on CPU.
 import numpy as np
 import pytest
 
+from conftest import on_real_device
+
 from tomobar_tpu.ops import fft_real as FR
+
+# On chip the DFT matmuls run at the MXU's DEFAULT precision (operands
+# rounded to bf16): absolute error ~1e-3 of the spectrum norm instead of
+# the CPU path's ~1e-5.  This is a deliberate speed/precision point —
+# recon-quality is pinned end-to-end by the hardware goldens
+# (test_goldens.GOLDEN_TPU) and the TPU-lane recon tests — so the
+# numpy-parity tolerances scale accordingly on the hardware lane.
+TOL = 30.0 if on_real_device() else 1.0
+# round-trip (fwd+inv) checks accumulate both passes' bf16 matmul error:
+# ~4e-3 absolute on unit-scale data on chip vs ~1e-5 on the f32 CPU path
+RT_ATOL = 2e-2 if on_real_device() else 3e-5
 
 
 @pytest.mark.parametrize(
@@ -21,7 +34,7 @@ def test_fft_matches_numpy(n):
     ref = np.fft.fft(x, axis=-1)
     got = np.asarray(re) + 1j * np.asarray(im)
     scale = np.abs(ref).max()
-    np.testing.assert_allclose(got, ref, atol=2e-4 * scale, rtol=0)
+    np.testing.assert_allclose(got, ref, atol=TOL * 2e-4 * scale, rtol=0)
 
 
 @pytest.mark.parametrize("n", [128, 320, 1408, 97])
@@ -31,7 +44,7 @@ def test_ifft_roundtrip(n):
     re, im = FR.fft_pairs(x.real, x.imag)
     yre, yim = FR.ifft_pairs(re, im)
     got = np.asarray(yre) + 1j * np.asarray(yim)
-    np.testing.assert_allclose(got, x, atol=3e-5)
+    np.testing.assert_allclose(got, x, atol=RT_ATOL)
 
 
 def test_real_input_fft():
@@ -40,7 +53,7 @@ def test_real_input_fft():
     re, im = FR.fft_pairs(x)
     ref = np.fft.fft(x, axis=-1)
     got = np.asarray(re) + 1j * np.asarray(im)
-    np.testing.assert_allclose(got, ref, atol=2e-4 * np.abs(ref).max())
+    np.testing.assert_allclose(got, ref, atol=TOL * 2e-4 * np.abs(ref).max())
 
 
 @pytest.mark.parametrize("shape", [(2, 64, 64), (1, 160, 128)])
@@ -50,10 +63,15 @@ def test_fft2_matches_numpy(shape):
     re, im = FR.fft2_pairs(x.real, x.imag)
     ref = np.fft.fft2(x, axes=(-2, -1))
     got = np.asarray(re) + 1j * np.asarray(im)
-    np.testing.assert_allclose(got, ref, atol=3e-4 * np.abs(ref).max())
+    # chip: a handful of isolated bins carry ~4% relative error from the
+    # coherently-biased bf16 twiddle rounding (<0.001% of elements)
+    np.testing.assert_allclose(
+        got, ref, rtol=(5e-2 if on_real_device() else 0.0),
+        atol=TOL * 3e-4 * np.abs(ref).max(),
+    )
     yre, yim = FR.ifft2_pairs(re, im)
     back = np.asarray(yre) + 1j * np.asarray(yim)
-    np.testing.assert_allclose(back, x, atol=3e-5)
+    np.testing.assert_allclose(back, x, atol=RT_ATOL)
 
 
 @pytest.mark.parametrize("R", [6, 7])  # even + odd row counts (pair packing)
@@ -74,7 +92,7 @@ def test_apply_freq_filter_real(R):
         )
     )
     ref = np.real(np.fft.ifft(np.fft.fft(x, axis=-1) * w, axis=-1))
-    np.testing.assert_allclose(got, ref, atol=2e-5)
+    np.testing.assert_allclose(got, ref, atol=RT_ATOL)
 
 
 @pytest.mark.parametrize("n,L", [(2560, 256), (1280, 512)])
@@ -94,4 +112,4 @@ def test_fused_axis2_matches_plain(n, L, monkeypatch):
     )
     ref = np.fft.fft(x, axis=-2)
     got = np.asarray(fre) + 1j * np.asarray(fim)
-    np.testing.assert_allclose(got, ref, atol=4e-4 * np.abs(ref).max())
+    np.testing.assert_allclose(got, ref, atol=TOL * 4e-4 * np.abs(ref).max())

@@ -3,19 +3,28 @@
 The reference's core test philosophy is exact-shape + min/max/mean goldens
 with tight rtol on fixed data (``tests/test_RecToolsIRCuPy.py:320-323``);
 threshold-only tests cannot catch silent numeric drift between rounds.
-Values frozen from the CPU (XLA float32) path; regenerate deliberately with
-``python tests/test_goldens.py`` if an intentional numeric change lands.
+
+Two frozen tables: ``GOLDEN_CPU`` (XLA float32 path) and ``GOLDEN_TPU``
+(v5e: Pallas kernels, bf16x3 projector dots, DEFAULT-precision FFT
+matmuls — a deliberately different numerical path, so its goldens are
+frozen from hardware, not expected to match CPU at 3e-4).  Regenerate
+deliberately after an intentional numeric change with::
+
+    python tests/test_goldens.py                       # CPU table
+    TOMOBAR_TPU_TEST_DEVICE=tpu python tests/test_goldens.py   # TPU table
 """
 
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
+from conftest import dev_tol, on_real_device
+
 from tomobar_tpu import RecToolsDIRCuPy, RecToolsIRCuPy
 
 RTOL = 3e-4
 
-GOLDEN = {
+GOLDEN_CPU = {
     "lc_os5": 1102.98193359375,
     "landweber": (0.0, 0.3156959116458893, 0.10711159557104111),
     "sirt": (-0.08311305195093155, 1.1595118045806885, 0.1213618814945221),
@@ -27,6 +36,24 @@ GOLDEN = {
     "fbp_device": (-0.4902627170085907, 2.0110180377960205, 0.06773578375577927),
 }
 
+# frozen on a v5e via the regeneration entry point (see module docstring)
+GOLDEN_TPU = {
+    "lc_os5": 1102.52197265625,
+    "landweber": (0.0, 0.30725428462028503, 0.10709908604621887),
+    "sirt": (-0.07319526374340057, 1.1466529369354248, 0.1213892325758934),
+    "cgls": (-0.2022751122713089, 1.3826395273208618, 0.1217867061495781),
+    "fista_os_tv": (0.0, 1.3484827280044556, 0.12198518216609955),
+    "admm_rof": (-0.03080042265355587, 0.6806007623672485, 0.12003545463085175),
+    "osem": (0.0, 591.0172119140625, 39.64720916748047),
+    "fourier_inv_shepp": (-1.4058552980422974, 3.0552780628204346, 0.2957040071487427),
+    "fbp_device": (-0.5049519538879395, 1.8652892112731934, 0.06769119948148727),
+}
+
+
+def _golden_table():
+    return GOLDEN_TPU if on_real_device() else GOLDEN_CPU
+
+
 
 def _stats(x):
     x = np.asarray(x)
@@ -34,8 +61,11 @@ def _stats(x):
 
 
 def _check(name, rec):
+    table = _golden_table()
+    if name not in table:
+        pytest.skip(f"no {name} golden frozen for this device yet")
     got = _stats(rec)
-    want = GOLDEN[name]
+    want = table[name]
     for g, w, label in zip(got, want, ("min", "max", "mean")):
         assert g == pytest.approx(w, rel=RTOL, abs=1e-7), (
             f"{name}.{label}: got {g!r}, golden {w!r}"
@@ -56,8 +86,11 @@ def gp(phantom3d, sino3d, angles180):
 
 class TestGoldens:
     def test_lipschitz(self, gp):
+        table = _golden_table()
+        if "lc_os5" not in table:
+            pytest.skip("no lc_os5 golden frozen for this device yet")
         lc = float(gp["os5"].powermethod(gp["data"]))
-        assert lc == pytest.approx(GOLDEN["lc_os5"], rel=RTOL)
+        assert lc == pytest.approx(table["lc_os5"], rel=RTOL)
 
     def test_landweber(self, gp):
         _check("landweber", gp["classic"].Landweber(gp["data"], {"iterations": 50}))
@@ -134,9 +167,9 @@ class TestKLFidelity:
         rec = np.asarray(rec)
         ph = np.asarray(phantom3d)
         corr = np.corrcoef(rec.ravel(), ph.ravel())[0, 1]
-        assert corr > 0.85, corr
+        assert corr > dev_tol(0.85, 0.80), corr
         err = np.sqrt(np.mean((rec - ph) ** 2)) / np.sqrt(np.mean(ph**2))
-        assert err < 0.5, err
+        assert err < dev_tol(0.5, 0.58), err
 
     def test_kl_matches_reference_gradient_form(self, sino3d, angles180):
         """grad = A^T(1 - b/clip(Ax)) — zero when Ax == b exactly."""
@@ -152,3 +185,51 @@ class TestKLFidelity:
         b = P.fp(x)
         g = grad_data_term(P, x, b, fidelity="KL")
         assert float(jnp.abs(g).max()) < 1e-3
+
+
+def _regenerate():
+    """Compute the golden table for the current device and print it
+    (paste into GOLDEN_CPU / GOLDEN_TPU above)."""
+    import conftest as _cf
+
+    # replicate the conftest fixtures exactly (angles180 is 90 angles;
+    # phantom slices scaled 0.8..1.2)
+    angles180 = np.linspace(0.0, np.pi, 90, endpoint=False)
+    sl = _cf.shepp_logan_slice(64)
+    scale = np.linspace(0.8, 1.2, 4, dtype=np.float32)
+    ph = (sl[None, :, :] * scale[:, None, None]).astype(np.float32)
+    from tomobar_tpu.geometry import Geometry
+    from tomobar_tpu.ops.projector import radon_fp
+
+    geom = Geometry(detectors_x=64, detectors_y=4, angles=angles180,
+                    recon_size=64)
+    sino3d = np.asarray(radon_fp(jnp.asarray(ph), geom))
+    data = {"projection_data": jnp.asarray(sino3d)}
+    os5 = RecToolsIRCuPy(64, 0, 4, 0.0, angles180, 64, OS_number=5)
+    classic = RecToolsIRCuPy(64, 0, 4, 0.0, angles180, 64)
+    direct = RecToolsDIRCuPy(64, 0, 4, 0.0, angles180, 64)
+
+    out = {"lc_os5": float(os5.powermethod(dict(data)))}
+    out["landweber"] = _stats(classic.Landweber(dict(data), {"iterations": 50}))
+    out["sirt"] = _stats(classic.SIRT(dict(data), {"iterations": 50}))
+    out["cgls"] = _stats(classic.CGLS(dict(data), {"iterations": 10}))
+    out["fista_os_tv"] = _stats(os5.FISTA(
+        dict(data), {"iterations": 8, "nonnegativity": True},
+        {"method": "PD_TV", "regul_param": 5e-4, "iterations": 30}))
+    out["admm_rof"] = _stats(os5.ADMM(
+        dict(data), {"iterations": 3},
+        {"method": "ROF_TV", "regul_param": 1e-3, "iterations": 40}))
+    out["osem"] = _stats(os5.OSEM(dict(data), {"iterations": 5}))
+    out["fourier_inv_shepp"] = _stats(direct.FOURIER_INV(
+        jnp.asarray(sino3d), filter_type="shepp"))
+    out["fbp_device"] = _stats(direct.FBP(
+        jnp.swapaxes(jnp.asarray(sino3d), 0, 1)))
+    import jax
+
+    print(f"# device: {jax.devices()[0]}")
+    for k, v in out.items():
+        print(f'    "{k}": {v!r},')
+
+
+if __name__ == "__main__":
+    _regenerate()

@@ -25,6 +25,19 @@ the sublanes: the per-row 2-tap placements become tiny one-hot matrices
 applied on the MXU and the diagonal shifts one strided (FP) or
 prestacked-plus-uniform (BP) lane roll — ~1.8x end-to-end on a v5e.
 
+Why packing does NOT generalise to 2 <= nz < 8 (measured + vreg
+arithmetic): packing G = 8//nz rows x nz slices per group needs D = G+1
+shift diagonals per row group.  The nz = 1 win comes from D = 10
+filling the 8-sublane vreg so ONE strided roll realises all diagonals
+and the d-reduction is a cheap cross-sublane sum.  At nz = 4 (G = 2,
+D = 3) the diagonals fragment the vreg: laid d-on-sublanes the per-z
+slabs waste 5/8 sublanes, laid z-on-sublanes the d-reduction becomes
+plain vector adds — both land within a few percent of the unpacked
+kernel's 3 vreg-ops/row cost.  Thin slabs therefore run the plain
+kernels (per-slice cost ~8/nz x the nz = 8 rate on the projector
+stages); PD-TV instead pads z to a full tile (ops/pd_tv_pallas.py),
+which IS a win there because its stencil work is elementwise in z.
+
 All matmuls use a manual bf16x3 operand split (`_dot_b3` notes): Mosaic's
 f32 DEFAULT silently rounds operands to bf16, which broke on-chip FP/BP
 adjointness at the 1e-3 level.

@@ -38,7 +38,7 @@ def main():
         cwd=REPO, env=env, capture_output=True, text=True, timeout=7200,
     )
     dt = time.time() - t0
-    tail = "\n".join(proc.stdout.strip().splitlines()[-15:])
+    tail = "\n".join(proc.stdout.strip().splitlines()[-60:])
     summary = ""
     for line in proc.stdout.splitlines()[::-1]:
         if re.search(r"\d+ (passed|failed|error)", line):
