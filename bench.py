@@ -201,6 +201,16 @@ def main():
     iters = int(os.environ.get("TOMOBAR_BENCH_ITERS", 2))
     tv_iters = int(os.environ.get("TOMOBAR_BENCH_TV_ITERS", 20))
 
+    # soft deadline: the optional extras (stage audits, northstar, extra
+    # configs) are skipped once elapsed time passes this, so the primary
+    # metric line always prints even under a driver time budget
+    deadline = timeit.default_timer() + float(
+        os.environ.get("TOMOBAR_BENCH_DEADLINE_S", "3300")
+    )
+
+    def time_left():
+        return timeit.default_timer() < deadline
+
     extra = {}
 
     try:
@@ -222,6 +232,8 @@ def main():
         traceback.print_exc()
 
     try:
+        if not time_left():
+            raise TimeoutError("bench deadline: skipping direct configs")
         t_fi, t_fbp, t_fbp2, t_fi2 = bench_direct(N, nz, nproj)
         extra["fourier_inv_ms"] = round(t_fi * 1e3, 2)
         extra["fbp3d_ms"] = round(t_fbp * 1e3, 2)
@@ -232,7 +244,7 @@ def main():
     except Exception:
         traceback.print_exc()
 
-    if os.environ.get("TOMOBAR_BENCH_FOURIER_AUDIT", "1") == "1":
+    if os.environ.get("TOMOBAR_BENCH_FOURIER_AUDIT", "1") == "1" and time_left():
         try:
             # per-stage roofline audit of FOURIER_INV (filter / fft1d /
             # gridding / ifft2 / unpad) — see bench/fourier_breakdown.py
@@ -243,6 +255,8 @@ def main():
             traceback.print_exc()
 
     try:
+        if not time_left():
+            raise TimeoutError("bench deadline: skipping nz=4 config")
         # thin-slab config (judge r3 item 4): nz=4 wastes half the
         # sublane axis in the projector kernels, so its per-slice rate
         # is inherently ~2x the nz=8 rate there; PD-TV pads z to full
@@ -254,13 +268,15 @@ def main():
         traceback.print_exc()
 
     try:
+        if not time_left():
+            raise TimeoutError("bench deadline: skipping 2D config")
         extra["fista2d_iter_s"] = round(
             bench_fista2d(N, nproj, os_number, iters, tv_iters), 4
         )
     except Exception:
         traceback.print_exc()
 
-    if os.environ.get("TOMOBAR_BENCH_NORTHSTAR", "1") == "1":
+    if os.environ.get("TOMOBAR_BENCH_NORTHSTAR", "1") == "1" and time_left():
         try:
             # the BASELINE.json metric itself: time-to-RMSE at 2560^2 x 20
             # with converging data (real phantom + Poisson noise +
@@ -273,6 +289,8 @@ def main():
             traceback.print_exc()
 
     try:
+        if not time_left():
+            raise TimeoutError("bench deadline: skipping ADMM config")
         extra["admm3d_os24_iter_s"] = round(
             bench_admm3d(N, nz, nproj, iters, tv_iters), 4
         )
