@@ -169,7 +169,14 @@ def _dft_axis2(re, im, wre, wim):
     return mm(wre, re) - mm(wim, im), mm(wim, re) + mm(wre, im)
 
 
-_LB = 256  # lane-strip width of the fused axis-2 pass (VMEM-bound)
+_LB = 256  # default lane-strip width of the fused axis-2 pass
+
+
+def _pick_lb(n: int) -> int:
+    """Strip width keeping the kernel's ~13 strip-sized temporaries
+    (in/out x re/im + B-DFT/twiddle intermediates) inside the 100 MB
+    VMEM limit: n = 8192 at 256 lanes measured 104.5 MB."""
+    return _LB if n * _LB * 4 <= 6 * 1024 * 1024 else 128
 
 
 def _fft_axis2_fused(re: jnp.ndarray, im: jnp.ndarray, sign: int,
@@ -187,6 +194,7 @@ def _fft_axis2_fused(re: jnp.ndarray, im: jnp.ndarray, sign: int,
 
     n = re.shape[-2]
     L = re.shape[-1]
+    LB = _pick_lb(n)
     batch = re.shape[:-2]
     Z = 1
     for d in batch:
@@ -200,8 +208,8 @@ def _fft_axis2_fused(re: jnp.ndarray, im: jnp.ndarray, sign: int,
 
     def kernel(tre_ref, tim_ref, wre_ref, wim_ref, re_ref, im_ref,
                ore_ref, oim_ref):
-        xr = re_ref[0].reshape(B, C, _LB)
-        xi = im_ref[0].reshape(B, C, _LB)
+        xr = re_ref[0].reshape(B, C, LB)
+        xi = im_ref[0].reshape(B, C, LB)
         # ---- B-point DFT over axis 0 (static scalar FMAs) ----
         yr, yi = [], []
         for k in range(B):
@@ -238,15 +246,15 @@ def _fft_axis2_fused(re: jnp.ndarray, im: jnp.ndarray, sign: int,
         # ---- X[k1 + B*k2] interleave: (B=k1, C=k2) -> (C, B) ----
         sr = jnp.stack(outs_r, axis=0)  # (B, C, LB)
         si = jnp.stack(outs_i, axis=0)
-        ore_ref[0] = jnp.swapaxes(sr, 0, 1).reshape(n, _LB)
-        oim_ref[0] = jnp.swapaxes(si, 0, 1).reshape(n, _LB)
+        ore_ref[0] = jnp.swapaxes(sr, 0, 1).reshape(n, LB)
+        oim_ref[0] = jnp.swapaxes(si, 0, 1).reshape(n, LB)
 
-    blk = pl.BlockSpec((1, n, _LB), lambda z, l, *_: (z, 0, l))
+    blk = pl.BlockSpec((1, n, LB), lambda z, l, *_: (z, 0, l))
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(Z, L // _LB),
+            grid=(Z, L // LB),
             in_specs=[
                 pl.BlockSpec((B, C), lambda z, l, *_: (0, 0)),
                 pl.BlockSpec((B, C), lambda z, l, *_: (0, 0)),
@@ -278,7 +286,7 @@ _FFT_INTERPRET = [False]  # test hook
 
 
 def _use_fused_axis2(n: int, L: int, im) -> bool:
-    if im is None or L % _LB or n > _MAX_MATMUL_N * _SMALL_B:
+    if im is None or L % _pick_lb(n) or n > _MAX_MATMUL_N * _SMALL_B:
         return False
     B, C = _best_split(n)
     return B != 0 and 1 < B <= 8 and C <= _MAX_MATMUL_N and not (
@@ -478,14 +486,43 @@ def apply_freq_filter_real(
         x2 = jnp.pad(x2, ((0, 0), (0, 1), (0, 0)))
     re = x2[:, 0::2, :]
     im = x2[:, 1::2, :]
-    fre, fim = fft_pairs(re, im)
-    if w_im is None:
-        gre = fre * w_re
-        gim = fim * w_re
+    npairs = re.shape[1]
+    # On TPU, route both transforms through the fused axis-(-2) Pallas
+    # pass on the transposed layout: two cheap transposes replace the
+    # row-transform machinery's per-pass fusion-boundary traffic
+    # (measured 26.6 -> ~12 ms on the 14408x8192 FBP filter stage).
+    use_fused = _use_fused_axis2(n, 256, im)  # L checked after padding
+    if use_fused:
+        B, C = _best_split(n)
+        re_t = jnp.swapaxes(re.reshape(-1, n), 0, 1)  # (n, rows)
+        im_t = jnp.swapaxes(im.reshape(-1, n), 0, 1)
+        rows = re_t.shape[1]
+        pad = (-rows) % _pick_lb(n)
+        if pad:
+            re_t = jnp.pad(re_t, ((0, 0), (0, pad)))
+            im_t = jnp.pad(im_t, ((0, 0), (0, pad)))
+        fre, fim = _fft_axis2_fused(re_t, im_t, -1, B, C)
+        wr = w_re[:, None]
+        if w_im is None:
+            gre = fre * wr
+            gim = fim * wr
+        else:
+            wi = w_im[:, None]
+            gre = fre * wr - fim * wi
+            gim = fre * wi + fim * wr
+        yre, yim = _fft_axis2_fused(gre, gim, +1, B, C)
+        s = 1.0 / n
+        yre = jnp.swapaxes(yre[:, :rows], 0, 1).reshape(-1, npairs, n) * s
+        yim = jnp.swapaxes(yim[:, :rows], 0, 1).reshape(-1, npairs, n) * s
     else:
-        gre = fre * w_re - fim * w_im
-        gim = fre * w_im + fim * w_re
-    yre, yim = ifft_pairs(gre, gim)
+        fre, fim = fft_pairs(re, im)
+        if w_im is None:
+            gre = fre * w_re
+            gim = fim * w_re
+        else:
+            gre = fre * w_re - fim * w_im
+            gim = fre * w_im + fim * w_re
+        yre, yim = ifft_pairs(gre, gim)
     y = jnp.stack([yre, yim], axis=2).reshape(x2.shape[0], R + odd, n)
     if odd:
         y = y[:, :R, :]
