@@ -74,6 +74,25 @@ def test_fft2_matches_numpy(shape):
     np.testing.assert_allclose(back, x, atol=RT_ATOL)
 
 
+@pytest.mark.parametrize("n", [512, 2560])
+def test_fft_relative_l2_error_bound(n):
+    """Energy-normalised accuracy bound that holds on BOTH lanes.
+
+    The elementwise atol above is deliberately loose on chip (bf16 MXU
+    operands); this pins the spectrum-level relative L2 error
+    ||got - ref||_2 / ||ref||_2, which the bf16 rounding cannot inflate
+    past ~1e-3, so a genuine on-chip numeric regression (wrong twiddle,
+    mis-split radix, dropped strip) trips it even within the loose
+    per-element tolerances."""
+    rng = np.random.RandomState(17)
+    x = (rng.rand(4, n) + 1j * rng.rand(4, n)).astype(np.complex64)
+    re, im = FR.fft_pairs(x.real, x.imag)
+    ref = np.fft.fft(x, axis=-1)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    rel_l2 = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel_l2 < (2e-3 if on_real_device() else 2e-6)
+
+
 @pytest.mark.parametrize("R", [6, 7])  # even + odd row counts (pair packing)
 def test_apply_freq_filter_real(R):
     rng = np.random.RandomState(7)

@@ -29,6 +29,9 @@ from tomobar_tpu.utils.tools import (
 
 __all__ = ["RecToolsIRTPU"]
 
+# Sentinel for values _step_key cannot safely hash (see _step_key docstring).
+_UNHASHABLE = object()
+
 
 class RecToolsIRTPU:
     """Iterative reconstruction tools (device-resident, jit-compiled).
@@ -158,22 +161,50 @@ class RecToolsIRTPU:
 
     def _step_key(self, method: str, d: dict, a: dict, r):
         """Hashable fingerprint of everything a verbose-mode outer step
-        closes over besides device arrays: solver scalars, fidelity
+        closes over besides the sinogram/weights: solver scalars, fidelity
         parameters and the regularisation dict (nonneg_regul rides in via
-        a)."""
+        a).
+
+        Every closed-over value must contribute to the key: numpy scalars
+        are coerced through float()/int(), array-valued regularisation
+        entries (e.g. NLTV's H_i/H_j/Weights, baked into the jitted step as
+        closure constants) contribute a content digest, and any value of an
+        unrecognised type makes the whole key ``None`` — which disables
+        caching (per-call jit) rather than risking a stale compiled step.
+        """
+
+        def coerce(v):
+            if v is None or isinstance(v, (bool, int, float, str)):
+                return v
+            if isinstance(v, np.bool_):
+                return bool(v)
+            if isinstance(v, np.integer):
+                return int(v)
+            if isinstance(v, np.floating):
+                return float(v)
+            if isinstance(v, (np.ndarray, jnp.ndarray)):
+                arr = np.asarray(v)
+                return ("ndarray", arr.shape, str(arr.dtype),
+                        hash(arr.tobytes()))
+            if isinstance(v, (tuple, list)):
+                inner = tuple(coerce(x) for x in v)
+                if any(x is _UNHASHABLE for x in inner):
+                    return _UNHASHABLE
+                return inner
+            return _UNHASHABLE
 
         def items(dd):
             if not dd:
                 return ()
-            return tuple(
-                (k, v)
-                for k, v in sorted(dd.items())
-                if isinstance(v, (int, float, str, bool, type(None)))
-            )
+            out = []
+            for k, v in sorted(dd.items()):
+                cv = coerce(v)
+                if cv is _UNHASHABLE:
+                    return _UNHASHABLE
+                out.append((k, cv))
+            return tuple(out)
 
-        return (
-            method,
-            d.get("data_fidelity"),
+        parts = (
             items({k: d.get(k) for k in (
                 "beta_SWLS", "huber_threshold", "studentst_threshold")}),
             items({k: a.get(k) for k in (
@@ -181,6 +212,9 @@ class RecToolsIRTPU:
                 "ADMM_relax_par")}),
             items(r),
         )
+        if any(p is _UNHASHABLE for p in parts):
+            return None
+        return (method, d.get("data_fidelity")) + parts
 
     # -------------------------------------------------------------- solvers
 

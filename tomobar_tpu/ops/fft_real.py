@@ -190,7 +190,6 @@ def _fft_axis2_fused(re: jnp.ndarray, im: jnp.ndarray, sign: int,
     23.7 ms vs a ~2 ms bandwidth floor for a 4x5120x5120 pair batch)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    from functools import partial
 
     n = re.shape[-2]
     L = re.shape[-1]
@@ -491,7 +490,10 @@ def apply_freq_filter_real(
     # pass on the transposed layout: two cheap transposes replace the
     # row-transform machinery's per-pass fusion-boundary traffic
     # (measured 26.6 -> ~12 ms on the 14408x8192 FBP filter stage).
-    use_fused = _use_fused_axis2(n, 256, im)  # L checked after padding
+    # Rows are padded below to a multiple of _pick_lb(n), so probe the
+    # divisibility check with exactly that width (not a magic constant —
+    # any multiple of _pick_lb(n) passes by construction).
+    use_fused = _use_fused_axis2(n, _pick_lb(n), im)
     if use_fused:
         B, C = _best_split(n)
         re_t = jnp.swapaxes(re.reshape(-1, n), 0, 1)  # (n, rows)

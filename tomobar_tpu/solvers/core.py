@@ -319,6 +319,13 @@ def _host_outer_loop(
     """Host-driven outer loop for ``verbose`` solvers: one jitted sweep per
     outer iteration, progress printed from the host.
 
+    Deliberate divergence from the reference: progress is printed EVERY
+    outer iteration (with the relative update norm), whereas the reference
+    prints roughly every ``iterations/5`` sweeps without a convergence
+    metric (``methodsIR_CuPy.py:568-576``).  The per-iteration line is what
+    makes ``tolerance`` early stopping observable, and outer iterations are
+    seconds-long at production scale, so the denser cadence costs nothing.
+
     The TPU deployment runtime rejects host callbacks (``jax.debug.print``),
     so in-jit printing is impossible; the per-iteration dispatch overhead is
     the price of progress reporting and only paid when verbose is on.
