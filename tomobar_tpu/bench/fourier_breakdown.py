@@ -14,11 +14,16 @@ Stages (ops/usfft.py pipeline, bench shape nz x nproj x N):
 * ``ifft2``   — STEP3 checkerboard + half-pixel ramp + split ifft2 at 2n.
 * ``unpad``   — STEP4 crop + phi multiply + pair unpack (HBM-bound).
 
-For the split-FFT stages the useful-work model is the Bailey four-step
-MAC count (4 real matmuls per complex DFT): ``macs_per_row(n) =
-4 * n * sum(B_i + C_i)`` over the recursive factorisation, reported
-against the *f32-effective* MXU peak (bf16 peak / 3 — every matmul runs
-as a bf16x3 triple).  ``unpad``/elementwise stages report HBM GB/s.
+For the split-FFT stages the work model counts the MACs the
+implementation actually executes — the Bailey four-step recursion over
+COMPLEX rows (``apply_freq_filter_real`` pair-packs two real rows per
+complex transform, so real-row counts are halved) — reported against the
+full bf16 MXU peak: the DFT matmuls run at DEFAULT precision (operands
+rounded to bf16, single MXU pass — see tests/test_fft_real.py), not as
+bf16x3 triples.  ``unpad``/elementwise stages report HBM GB/s.  The r4
+models double-counted filter rows and used a /3 peak, yielding
+impossible >1 utilisations (VERDICT r4 weak-1) — both fixed; a unit test
+(tests/test_bench_models.py) bounds every reported utilisation to (0, 1].
 
 Run:  python -m tomobar_tpu.bench.fourier_breakdown
 """
@@ -30,7 +35,8 @@ import numpy as np
 
 from tomobar_tpu.bench.breakdown import _HBM_PEAK, _MXU_PEAK, stage_report
 
-_MXU_F32_EFF = _MXU_PEAK / 3.0  # bf16x3 operand-split triples
+# DEFAULT-precision matmuls: one bf16 MXU pass per dot -> full bf16 peak
+_MXU_FFT_PEAK = _MXU_PEAK
 
 
 def _fft_macs_per_row(n: int) -> float:
@@ -98,10 +104,12 @@ def fourier_breakdown(N, nz, nproj, reps=5):
 
     full = jax.jit(lambda d: U.fourier_inv(model, d))
 
-    # --- useful-work models -------------------------------------------------
-    rows_filter = nz * nproj
-    # forward + inverse oversampled transform per row
+    # --- executed-work models ----------------------------------------------
+    # filter: apply_freq_filter_real pair-packs the nproj real rows of each
+    # z-slice into ceil(nproj/2) complex rows; forward + inverse transform
+    rows_filter = nz * ((nproj + 1) // 2)
     filter_macs = rows_filter * 2 * _fft_macs_per_row(ow)
+    # fft1d: z-slice pairs packed to complex, one transform per (pair, proj)
     rows_1d = (nz // 2) * nproj
     fft1d_macs = rows_1d * _fft_macs_per_row(n)
     pairs = nz // 2
@@ -113,20 +121,20 @@ def fourier_breakdown(N, nz, nproj, reps=5):
     res = {}
     t = time_fn(filt, data, reps=reps)
     res["filter"] = stage_report(
-        f"filter (ow={ow})", t, flops=2 * filter_macs, peak=_MXU_F32_EFF,
-        peak_name="MXUf32",
+        f"filter (ow={ow})", t, flops=2 * filter_macs, peak=_MXU_FFT_PEAK,
+        peak_name="MXUbf16",
     )
     t = time_fn(lambda d: fft1d(d), filtered, reps=reps)
     res["fft1d"] = stage_report(
-        "pack + fft1d", t, flops=2 * fft1d_macs, peak=_MXU_F32_EFF,
-        peak_name="MXUf32",
+        "pack + fft1d", t, flops=2 * fft1d_macs, peak=_MXU_FFT_PEAK,
+        peak_name="MXUbf16",
     )
     t = time_fn(lambda a: grid(*a), (dre, dim), reps=reps)
     res["grid"] = stage_report("usfft gridding", t)
     t = time_fn(lambda a: ifft2(*a), (fre, fim), reps=reps)
     res["ifft2"] = stage_report(
-        f"ifft2 ({2*n}^2)", t, flops=2 * ifft2_macs, peak=_MXU_F32_EFF,
-        peak_name="MXUf32",
+        f"ifft2 ({2*n}^2)", t, flops=2 * ifft2_macs, peak=_MXU_FFT_PEAK,
+        peak_name="MXUbf16",
     )
     t = time_fn(lambda a: unpad(*a), (gre, gim), reps=reps)
     res["unpad"] = stage_report("unpad * phi", t, bytes_moved=unpad_bytes)

@@ -160,11 +160,24 @@ def run_northstar(
     w = jnp.clip(sino, 1e-6, None) / jnp.max(sino)
 
     # -- Lipschitz constant: the real powermethod, subset 0 -----------------
+    # Split compile vs run: the second call hits jit's cache, so
+    # (first - second) is compile cost.  RecToolsIRTPU caches L per
+    # (geometry, OS) instance, so production repeat solves skip even the
+    # run cost — time_to_rmse_warm_s below reports that case.
     t0 = timeit.default_timer()
     L = solvers.power_method(P, (nz, N, N), iterations=15)
+    pm_total = timeit.default_timer() - t0
+    t0 = timeit.default_timer()
+    solvers.power_method(P, (nz, N, N), iterations=15)
+    pm_run = timeit.default_timer() - t0
     out["lipschitz_const"] = round(float(L), 2)
-    out["powermethod_s"] = round(timeit.default_timer() - t0, 2)
-    log(f"powermethod L={L:.1f} ({out['powermethod_s']}s incl compile)")
+    out["powermethod_s"] = round(pm_total, 2)
+    out["powermethod_run_s"] = round(pm_run, 2)
+    out["powermethod_compile_s"] = round(max(pm_total - pm_run, 0.0), 2)
+    log(
+        f"powermethod L={L:.1f} ({pm_total:.1f}s first call, "
+        f"{pm_run:.1f}s run-only)"
+    )
 
     # -- FBP quality floor + warm start -------------------------------------
     rt_dir = RecToolsDIRCuPy(N, 0, nz, 0.0, angles, N)
@@ -217,6 +230,11 @@ def run_northstar(
         "rel_rmse_best": round(best, 4),
         "rmse_target": round(tgt, 4),
         "time_to_rmse_s": round(t_conv, 2),
+        # cold = first solve on a fresh instance (pays the powermethod run;
+        # compile amortises across the persistent cache); warm = repeat
+        # solve with the instance's cached L (VERDICT r4 next-2)
+        "time_to_rmse_cold_s": round(t_conv + pm_run, 2),
+        "time_to_rmse_warm_s": round(t_conv, 2),
         "time_to_fbp_rmse_s": (
             round(t_fbp_par, 2) if t_fbp_par is not None else None
         ),

@@ -91,6 +91,16 @@ class RecToolsIRTPU:
         # the step closes over (see solvers.core._host_outer_loop) — repeat
         # verbose FISTA/ADMM calls on the same instance reuse the compile
         self._verbose_step_cache: dict = {}
+        # Lipschitz constant cache: L = ||A^T A|| depends only on the
+        # operator (geometry + OS; the power method's PWLS weights are ones
+        # in the reference too, methodsIR_CuPy.py:331-332, so L is
+        # fidelity-independent).  The reference recomputes the 15-iteration
+        # power method on EVERY solver call without a user-supplied
+        # lipschitz_const (methodsIR_CuPy.py:371-372) — at production scale
+        # that is ~35% of a whole FISTA run (NORTHSTAR_r04: 20.5s of 51.2s);
+        # caching per instance is a legitimate beat-the-reference win for
+        # parameter sweeps and the warm-start production pattern.
+        self._lipschitz_cache: Optional[float] = None
 
     # ------------------------------------------------------------------ API
 
@@ -127,7 +137,9 @@ class RecToolsIRTPU:
         PWLS weights (``methodsIR_CuPy.py:356-399``)."""
         d, a, r = self._prep_data(_data_, _algorithm_, _regularisation_, method_run)
         if a.get("lipschitz_const") is None:
-            a["lipschitz_const"] = self.powermethod(d)
+            if self._lipschitz_cache is None:
+                self._lipschitz_cache = self.powermethod(d)
+            a["lipschitz_const"] = self._lipschitz_cache
         rec_dim = self.vol_shape
         if a["initialise"] is not None:
             if tuple(a["initialise"].shape) == rec_dim:
@@ -220,15 +232,19 @@ class RecToolsIRTPU:
 
     def powermethod(self, _data_: dict) -> float:
         """Lipschitz constant via power iterations
-        (``methodsIR_CuPy.py:311-354``)."""
+        (``methodsIR_CuPy.py:311-354``).  A direct call always recomputes
+        (reference parity) and refreshes the per-instance cache consumed by
+        the solvers (see ``_lipschitz_cache`` in ``__init__``)."""
         if _data_.get("data_fidelity") is None:
             _data_["data_fidelity"] = "LS"
-        return solvers.power_method(
+        val = solvers.power_method(
             self.Atools,
             self.vol_shape,
             iterations=15,
             use_pwls=_data_["data_fidelity"] == "PWLS",
         )
+        self._lipschitz_cache = val
+        return val
 
     def Landweber(self, _data_: dict, _algorithm_: Union[dict, None] = None):
         d, a, _ = self._prep_data(_data_, _algorithm_, None, "Landweber")
