@@ -344,5 +344,6 @@ class RecToolsIRTPU:
             iterations=a["iterations"],
             regul_fn=self._regul_fn(r),
             x0=x0,
+            normalisation_mode=a.get("osem_normalisation", "reference"),
         )
         return self._finalise(x, a)

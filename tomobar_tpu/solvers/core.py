@@ -479,11 +479,28 @@ def osem(
     iterations: int,
     regul_fn: Optional[Callable] = None,
     x0: Optional[jnp.ndarray] = None,
+    normalisation_mode: str = "reference",
 ) -> jnp.ndarray:
     """OSEM (MLEM when OS=1) — multiplicative EM updates
-    (``methodsIR_CuPy.py:587-667``).  The reference multiplies by the
-    clipped sensitivity volume computed from subset 0 (rather than dividing
-    by it); preserved for golden parity."""
+    (``methodsIR_CuPy.py:587-667``).
+
+    ``normalisation_mode``:
+
+    * ``"reference"`` (default) — golden parity with the reference, which
+      MULTIPLIES by the clipped sensitivity volume computed from subset 0:
+      ``x *= backproj * normalisation`` (``methodsIR_CuPy.py:654``; the
+      fossil ``normalisation /= 1`` at ``:626,:637`` shows a division was
+      intended).  This diverges in scale by ~``A^T(1)^2`` per sweep on
+      generic emission data.
+    * ``"divide"`` — the textbook EM update ``x *= backproj /
+      sensitivity`` with the per-subset sensitivity ``A_s^T(1)``; the
+      actual Poisson maximum-likelihood iteration (see
+      ``examples/osem_kl_counts.py``)."""
+    if normalisation_mode not in ("reference", "divide"):
+        raise ValueError(
+            "osem_normalisation must be 'reference' or 'divide', got "
+            f"{normalisation_mode!r}"
+        )
     nz = sino.shape[0]
     n = projector.geom.recon_size
     n_sub = len(projector.subset_indices)
@@ -493,11 +510,24 @@ def osem(
     @jax.jit
     def run(b, x_init):
         subs, _ = _subset_slices(projector, b)
-        if not use_os:
-            normalisation = projector.bp(jnp.ones_like(b))
+        if normalisation_mode == "reference":
+            # one volume from subset 0, used for every subset (quirk)
+            if not use_os:
+                norm0 = projector.bp(jnp.ones_like(b))
+            else:
+                norm0 = projector.bp_sub(jnp.ones_like(subs[0]), 0)
+            norms = [jnp.clip(norm0, eps, None)] * n_sub
         else:
-            normalisation = projector.bp_sub(jnp.ones_like(subs[0]), 0)
-        normalisation = jnp.clip(normalisation, eps, None)
+            norms = [
+                jnp.clip(
+                    projector.bp_sub(jnp.ones_like(subs[s]), s)
+                    if use_os
+                    else projector.bp(jnp.ones_like(b)),
+                    eps,
+                    None,
+                )
+                for s in range(n_sub)
+            ]
 
         def body(_, x):
             for s in range(n_sub):
@@ -508,7 +538,10 @@ def osem(
                 backproj = (
                     projector.bp_sub(ratio, s) if use_os else projector.bp(ratio)
                 )
-                x = x * (backproj * normalisation)
+                if normalisation_mode == "reference":
+                    x = x * (backproj * norms[s])
+                else:
+                    x = x * (backproj / norms[s])
                 if regul_fn is not None:
                     x = regul_fn(x)
             return x

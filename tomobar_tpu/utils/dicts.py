@@ -87,6 +87,10 @@ def dicts_check(
             _algorithm_["tau_step_lanweber"] = 1e-05
     if method_run == "OSEM" and _algorithm_.get("iterations") is None:
         _algorithm_["iterations"] = 15 if self.OS_number > 1 else 300
+    if method_run == "OSEM" and "osem_normalisation" not in _algorithm_:
+        # "reference" reproduces the reference's multiply-by-sensitivity
+        # quirk (methodsIR_CuPy.py:654); "divide" is the textbook EM update
+        _algorithm_["osem_normalisation"] = "reference"
     if method_run == "FISTA" and _algorithm_.get("iterations") is None:
         _algorithm_["iterations"] = 20 if self.OS_number > 1 else 400
     if method_run == "ADMM":
