@@ -36,7 +36,12 @@ GOLDEN_CPU = {
     "fbp_device": (-0.4902627170085907, 2.0110180377960205, 0.06773578375577927),
 }
 
-# frozen on a v5e via the regeneration entry point (see module docstring)
+# frozen on a v5e via the regeneration entry point (see module docstring).
+# r5 refreeze: (a) the runtime/libtpu shipped between rounds shifted
+# FBP's min by ~1e-3 relative (verified: the UNCHANGED r4 snapshot fails
+# the r4 value on the new runtime), and (b) the r5 angle-stacked gridding
+# kernel intentionally drops the tap mask (tails ~4e-9) and reorders the
+# accumulation, moving fourier_inv stats within its oracle tolerance.
 GOLDEN_TPU = {
     "lc_os5": 1102.52197265625,
     "landweber": (0.0, 0.30725428462028503, 0.10709908604621887),
@@ -45,8 +50,8 @@ GOLDEN_TPU = {
     "fista_os_tv": (0.0, 1.3484827280044556, 0.12198518216609955),
     "admm_rof": (-0.03080042265355587, 0.6806007623672485, 0.12003545463085175),
     "osem": (0.0, 591.0172119140625, 39.64720916748047),
-    "fourier_inv_shepp": (-1.4058552980422974, 3.0552780628204346, 0.2957040071487427),
-    "fbp_device": (-0.5049519538879395, 1.8652892112731934, 0.06769119948148727),
+    "fourier_inv_shepp": (-1.4091283082962036, 3.0587525367736816, 0.29604941606521606),
+    "fbp_device": (-0.5044039487838745, 1.8665635585784912, 0.06771515309810638),
 }
 
 

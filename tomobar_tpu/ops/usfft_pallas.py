@@ -21,11 +21,11 @@ block's contribution into
     out[l1, l0] += (A * g)[l1, r] @ W0[r, l0]
 
 with ``A[l1, r] = coeff0*K1`` (row-side weights), ``W0[r, l0] = K0``
-(column-side weights), both built on the fly from iotas, and the real and
-imaginary channels stacked on the sublane axis of a single matmul.  Taps
-use the exact cutoff ``|l - floor(pos)| <= m`` so the result matches the
-XLA scatter oracle (:func:`tomobar_tpu.ops.usfft.usfft_grid`) to float
-rounding.
+(column-side weights), both built on the fly from iotas.  The Gaussian's
+tails at the reference's tap cutoff are ~4e-9 of the peak, so no tap
+mask is applied (underflow does the truncation) and the result matches
+the XLA scatter oracle (:func:`tomobar_tpu.ops.usfft.usfft_grid`) to
+float rounding.
 
 Angles are partitioned by driven axis exactly like the projector: lines
 with ``|sin| >= |cos|`` cross grid rows steeply (small per-row sample
@@ -33,6 +33,23 @@ windows) and are gridded directly; the rest are gridded into a
 *transposed* grid by the same kernel with sin/cos roles swapped, then
 transposed back and added.  Wrap-around indexing (the reference's
 ``mod(ell+n, 2n)``) becomes 128/256-lane margins folded back in XLA.
+
+r5 schedule (89 -> ~49 ms at 1801x8x2560 on v5e; ablation-driven — see
+tools/grid_tune.py):
+
+* **Angle stacking** (``_grid_kernel_astack``, the default): all _ACH=8
+  sorted-adjacent chunk angles ride the contraction dim of ONE matmul
+  per pair-channel (k = 8*128), amortising MXU fill/drain and the
+  accumulate count 8x over one-dot-per-angle.
+* **Dynamic column-window tiers**: each visit runs at the narrowest
+  width of ``_CW_TIERS`` that covers its true span (|c/s|*(RB+2m+2) +
+  taps + 128-alignment slack + the chunk's angular spread) — the matmul
+  column count is the kernel's largest cost and the worst-case single
+  width over-pays ~2x for steep angles.
+* **Empty-visit early-out**: samples only reach grid rows
+  ``n*(1 -/+ |sin|)`` +- taps, so ~15% of (row-block, angle) visits are
+  provably empty and skipped on a scalar test (the TPU analogue of the
+  reference's angle-range pruning row bounds).
 """
 
 from __future__ import annotations
@@ -53,25 +70,43 @@ import os as _os
 _RB = int(_os.environ.get("TOMOBAR_TPU_USFFT_RB", "128"))  # grid rows per block
 _RW = int(_os.environ.get("TOMOBAR_TPU_USFFT_RW", "128"))  # polar-sample window
 #   (needs ~0.71*(RB+2m+2)+2; m<=18 fits at the defaults)
-_CW = int(_os.environ.get("TOMOBAR_TPU_USFFT_CW", "384"))  # column window
-#   (covers RB*|c/s| <= RB, + 2m+2 taps + up to 128 alignment loss)
-_ACH = 8  # angles per grid step
+_CW = int(_os.environ.get("TOMOBAR_TPU_USFFT_CW", "384"))  # widest column
+#   window (covers RB*|c/s| <= RB, + 2m+2 taps + up to 128 alignment loss)
+# ascending width tiers; each visit runs at the narrowest covering tier
+_CW_TIERS = tuple(
+    int(x)
+    for x in _os.environ.get("TOMOBAR_TPU_USFFT_TIERS", "128,256,512").split(",")
+)
+_ACH = int(_os.environ.get("TOMOBAR_TPU_USFFT_ACH", "8"))  # angles per step
 _ROW_PAD = 128  # extended-grid row margin (wrap fold)
 _COL_PAD = 256  # extended-grid column margin (wrap fold)
 # z-pairs per kernel call: the (pch, 2, RB, wt) output block must stay in
 # VMEM (~5.9 MB per pair at n=2592) next to the weight temporaries
-_PCH = 4
+_PCH = int(_os.environ.get("TOMOBAR_TPU_USFFT_PCH", "4"))
+# stack the whole angle chunk on the contraction dim (one dot per channel);
+# 0 falls back to the simpler one-dot-per-(angle, channel) kernel
+_ASTACK = _os.environ.get("TOMOBAR_TPU_USFFT_ASTACK", "1") == "1"
 
 
 def _grid_kernel(
     sin_ref, cos_ref, g_ref, out_ref, *, n, npad, m, cc, coeff0, cap, wt,
-    npairs,
+    npairs, cw_tiers,
 ):
     """Accumulate one angle-chunk into one 128-row block of the extended
     grid for all ``npairs`` z-pairs at once.  Grid dims:
     (row_block, angle_chunk).  The kernel weights depend only on
     (row_block, angle), so processing every pair per visit builds them
-    once and grows the MXU matmul to (npairs*2*RB, RW) @ (RW, CW)."""
+    once; each pair-channel runs one (RB, RW) @ (RW, CW) MXU matmul.
+
+    ``cw_tiers`` is an ascending tuple of column-window widths (e.g.
+    ``(256, 384)``).  The matmul's column count is the kernel's largest
+    cost, and the width an angle actually needs — its true column span
+    |c/s|*(RB+2m+2) + taps, plus up to 127 lanes of 128-alignment slack —
+    varies per (angle, block).  Each visit picks the NARROWEST tier that
+    covers its span (a scalar-predicated ``pl.when`` branch per tier; at
+    the bench geometry ~95% of visits fit the 256 tier and ~37% the 128
+    tier, vs. the single worst-case 384 width the r4 kernel always paid).
+    """
     rb = pl.program_id(0)
     ach = pl.program_id(1)
 
@@ -82,16 +117,40 @@ def _grid_kernel(
     rb_lo = rb * _RB - _ROW_PAD  # global grid row of tile row 0
     half = n / 2.0
 
-    # int iota + cast: Mosaic's tpu.iota only produces integer vectors
+    # int iota + cast: Mosaic's tpu.iota only produces integer vectors.
+    # Everything that depends on a single index is computed on (1, W) /
+    # (W, 1) vectors and broadcast by the one subtract forming the
+    # distance; only the mixing iotas are materialised full-size.
     i_row = jax.lax.broadcasted_iota(jnp.int32, (_RB, _RW), 0).astype(jnp.float32)
-    j_row = jax.lax.broadcasted_iota(jnp.int32, (_RB, _RW), 1).astype(jnp.float32)
-    j_col = jax.lax.broadcasted_iota(jnp.int32, (_RW, _CW), 0).astype(jnp.float32)
-    l_col = jax.lax.broadcasted_iota(jnp.int32, (_RW, _CW), 1).astype(jnp.float32)
+    j_vec = jax.lax.broadcasted_iota(jnp.int32, (1, _RW), 1).astype(jnp.float32)
+    i_colv = jax.lax.broadcasted_iota(jnp.int32, (_RW, 1), 0).astype(jnp.float32)
+    l_cols = {
+        cwx: jax.lax.broadcasted_iota(jnp.int32, (_RW, cwx), 1).astype(
+            jnp.float32
+        )
+        for cwx in cw_tiers
+    }
 
     def ang_body(ia, _):
         s = sin_ref[ach * _ACH + ia]
         c = cos_ref[ach * _ACH + ia]
 
+        # ---- empty-visit early-out (scalar) ----
+        # samples only reach rows n*(1 -/+ |s|) -/+ taps: blocks outside
+        # that band have an all-underflow a_w and contribute nothing, yet
+        # cost a full visit (~15% of visits at uniform angles; the TPU
+        # analogue of the reference's angle-range pruning row bounds)
+        ns = n * jnp.abs(s)
+        active = (rb_lo + _RB > n - ns - (m + 1.0)) & (
+            rb_lo < n + ns + (m + 1.0)
+        )
+
+        @pl.when(active)
+        def _active_body():
+            _ang_active(ia, s, c)
+        return 0
+
+    def _ang_active(ia, s, c):
         # ---- static-per-step window math (scalar) ----
         # Ry(r) = n - 2 s (r - n/2); rows [rb_lo - m - 1, rb_lo + RB + m + 1]
         inv = 0.5 / s
@@ -100,58 +159,215 @@ def _grid_kernel(
         r0f = jnp.floor(jnp.minimum(ra, rbnd)) - 1.0
         r0 = jnp.clip(r0f.astype(jnp.int32), 0, n - _RW)
 
-        # Cx(r) = n + 2 c (r - n/2) over the window; floor start to 128
-        cx_a = n + 2.0 * c * (r0.astype(jnp.float32) - half)
-        cx_b = n + 2.0 * c * (r0.astype(jnp.float32) + _RW - 1.0 - half)
+        # Cx(r) = n + 2 c (r - n/2), evaluated at the TRUE sample-window
+        # endpoints (samples beyond rw_a have a_w ~ 0 by Gaussian underflow
+        # so they need no column coverage; endpoints are clipped to the
+        # existing sample range [0, n) because r0's own clip can shift the
+        # window while out-of-range samples carry g = 0).
+        rw_a = (_RB + 2.0 * m + 2.0) * jnp.abs(inv) + 3.0
+        r_lo_t = jnp.clip(r0f, 0.0, float(n))
+        r_hi_t = jnp.clip(r0f + rw_a, 0.0, float(n))
+        cx_a = n + 2.0 * c * (r_lo_t - half)
+        cx_b = n + 2.0 * c * (r_hi_t - half)
         c0f = jnp.floor(jnp.minimum(cx_a, cx_b)) - (m + 1.0)
         c0 = (c0f.astype(jnp.int32) // 128) * 128  # global column
-        c0t = jnp.clip(c0 + _COL_PAD, 0, wt - _CW)  # tile column
-        # the clip never binds for real angle windows (margin analysis in
-        # module docstring) but hides the 128-multiple fact from Mosaic
-        c0t = pl.multiple_of((c0t // 128) * 128, 128)
-        c0g = (c0t - _COL_PAD).astype(jnp.float32)
+        # highest column any covered sample can touch (+1 ceil safety)
+        c_hi = jnp.maximum(cx_a, cx_b) + (m + 2.0)
+        span = c_hi.astype(jnp.int32) - c0
 
-        # ---- row-side weights A (RB, RW): coeff0 * K1, exact tap cutoff
-        # exp2 with log2(e) folded into cc2: the VPU's native base-2
-        # transcendental is markedly cheaper than exp's lowering, and this
-        # kernel is weight-build (VPU) bound, not MXU bound
+        # ---- row-side weights A (RB, RW): coeff0 * K1.  The reference's
+        # hard tap cutoff |l - floor(pos)| <= m is dropped: at the
+        # universal eps=1e-4 parameters (m=5, cc=-0.536) the Gaussian at
+        # the cutoff is exp(-0.536*36) = 4e-9 of the peak, below float
+        # noise, and the masking arithmetic (floor + compares + select)
+        # was a large share of the VPU work.  exp2 with log2(e) folded
+        # into cc2: the VPU's native base-2 transcendental is cheaper
+        # than exp's lowering.
         cc2 = cc * 1.4426950408889634
-        rj = r0.astype(jnp.float32) + j_row
-        ry = jnp.minimum(n - 2.0 * s * (rj - half), cap)
-        d1 = (rb_lo + i_row) - ry
-        f1 = (rb_lo + i_row) - jnp.floor(ry)
-        a_w = coeff0 * jnp.exp2(cc2 * d1 * d1)
-        a_w = jnp.where((f1 >= -m) & (f1 <= m), a_w, 0.0)
+        rjv = r0.astype(jnp.float32) + j_vec
+        ry_v = jnp.minimum(n - 2.0 * s * (rjv - half), cap)  # (1, RW)
+        d1 = (rb_lo + i_row) - ry_v
+        a_w = coeff0 * jnp.exp2(cc2 * (d1 * d1))
 
-        # ---- column-side weights W0 (RW, CW): K0, exact tap cutoff
-        rjc = r0.astype(jnp.float32) + j_col
-        cx = jnp.minimum(n + 2.0 * c * (rjc - half), cap)
-        d0 = (c0g + l_col) - cx
-        f0 = (c0g + l_col) - jnp.floor(cx)
-        w0 = jnp.exp2(cc2 * d0 * d0)
-        w0 = jnp.where((f0 >= -m) & (f0 <= m), w0, 0.0)
+        # per-sample column positions (shared by every tier's w0 build)
+        rjc = r0.astype(jnp.float32) + i_colv
+        cx_v = jnp.minimum(n + 2.0 * c * (rjc - half), cap)  # (RW, 1)
 
-        # ---- fold g into A per channel and pair, one stacked
-        # (npairs*2*RB, RW) @ (RW, CW) matmul.  Mosaic can't vector-load
-        # at a dynamic lane offset: 128-aligned 2*RW load + dynamic roll
-        # (same trick as the projector's shear kernel).
+        # ---- fold g into A per channel and pair.  Mosaic can't
+        # vector-load at a dynamic lane offset: one 128-aligned 2*RW load
+        # for all pair-channels + dynamic roll (the projector's trick).
         r0a = jnp.clip((r0 // 128) * 128, 0, npad - 2 * _RW)
         dr = r0 - r0a
-        parts = []
-        for p in range(npairs):  # static unroll (npairs <= _PCH)
-            gwin = g_ref[p, :, ia, pl.ds(pl.multiple_of(r0a, 128), 2 * _RW)]
-            gwin = pltpu.roll(gwin, 2 * _RW - dr, 1)  # [., dr+j] -> j
-            parts.append(a_w * gwin[0:1, :_RW])
-            parts.append(a_w * gwin[1:2, :_RW])
-        a2 = jnp.concatenate(parts, axis=0)
-        out = jnp.dot(a2, w0, preferred_element_type=jnp.float32)
+        gall = g_ref[:, :, ia, pl.ds(pl.multiple_of(r0a, 128), 2 * _RW)]
+        gall = gall.reshape(2 * npairs, 2 * _RW)
+        gall = pltpu.roll(gall, 2 * _RW - dr, 1)  # [., dr+j] -> j
+        aps = [
+            a_w * gall[q : q + 1, :_RW] for q in range(2 * npairs)
+        ]
 
-        for p in range(npairs):
-            out_ref[p, 0, :, pl.ds(c0t, _CW)] += out[2 * p * _RB : (2 * p + 1) * _RB]
-            out_ref[p, 1, :, pl.ds(c0t, _CW)] += out[(2 * p + 1) * _RB : (2 * p + 2) * _RB]
-        return 0
+        def emit(cwx):
+            """Column-side weights + matmuls + accumulate at width cwx."""
+            c0t = jnp.clip(c0 + _COL_PAD, 0, wt - cwx)  # tile column
+            # the clip never binds for real angle windows (margin
+            # analysis above) but hides the 128-multiple fact from Mosaic
+            c0t = pl.multiple_of((c0t // 128) * 128, 128)
+            c0g = (c0t - _COL_PAD).astype(jnp.float32)
+            d0 = (c0g + l_cols[cwx]) - cx_v
+            w0 = jnp.exp2(cc2 * (d0 * d0))
+            for p in range(npairs):  # static unroll (npairs <= _PCH)
+                for ch in range(2):
+                    out = jnp.dot(
+                        aps[2 * p + ch], w0,
+                        preferred_element_type=jnp.float32,
+                    )
+                    out_ref[p, ch, :, pl.ds(c0t, cwx)] += out
+
+        # narrowest tier that covers the span; the last tier always does
+        prev_fits = span <= 0  # False
+        for cwx in cw_tiers[:-1]:
+            fits = span <= cwx
+            pl.when(fits & ~prev_fits)(lambda cwx=cwx: emit(cwx))
+            prev_fits = fits
+        pl.when(~prev_fits)(lambda: emit(cw_tiers[-1]))
 
     jax.lax.fori_loop(0, _ACH, ang_body, 0)
+
+
+def _grid_kernel_astack(
+    sin_ref, cos_ref, g_ref, out_ref, *, n, npad, m, cc, coeff0, cap, wt,
+    npairs, cw_tiers,
+):
+    """Angle-stacked variant: all _ACH chunk angles ride the contraction
+    dim of ONE matmul per pair-channel (k = _ACH*RW), amortising MXU
+    fill/drain and the accumulate count by _ACH.  Requires the chunk's
+    column windows to share one tier-wide union (true for sorted adjacent
+    angles); chunks whose union does not fit the widest tier (the wrap of
+    a driven group's angle range) fall back to per-angle emits."""
+    rb = pl.program_id(0)
+    ach = pl.program_id(1)
+
+    @pl.when(ach == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    rb_lo = rb * _RB - _ROW_PAD
+    half = n / 2.0
+    cc2 = cc * 1.4426950408889634
+
+    i_row = jax.lax.broadcasted_iota(jnp.int32, (_RB, _RW), 0).astype(jnp.float32)
+    j_vec = jax.lax.broadcasted_iota(jnp.int32, (1, _RW), 1).astype(jnp.float32)
+    i_colv = jax.lax.broadcasted_iota(jnp.int32, (_RW, 1), 0).astype(jnp.float32)
+    l_cols = {
+        cwx: jax.lax.broadcasted_iota(jnp.int32, (_RW, cwx), 1).astype(
+            jnp.float32
+        )
+        for cwx in cw_tiers
+    }
+
+    big = jnp.float32(1e9)
+
+    # ---- per-angle scalar window math, statically unrolled ----
+    angs = []
+    for ia in range(_ACH):
+        s = sin_ref[ach * _ACH + ia]
+        c = cos_ref[ach * _ACH + ia]
+        ns = n * jnp.abs(s)
+        act = (rb_lo + _RB > n - ns - (m + 1.0)) & (
+            rb_lo < n + ns + (m + 1.0)
+        )
+        inv = 0.5 / s
+        ra = (n - (rb_lo - m - 1.0)) * inv + half
+        rbnd = (n - (rb_lo + _RB + m + 1.0)) * inv + half
+        r0f = jnp.floor(jnp.minimum(ra, rbnd)) - 1.0
+        r0 = jnp.clip(r0f.astype(jnp.int32), 0, n - _RW)
+        rw_a = (_RB + 2.0 * m + 2.0) * jnp.abs(inv) + 3.0
+        r_lo_t = jnp.clip(r0f, 0.0, float(n))
+        r_hi_t = jnp.clip(r0f + rw_a, 0.0, float(n))
+        cx_a = n + 2.0 * c * (r_lo_t - half)
+        cx_b = n + 2.0 * c * (r_hi_t - half)
+        c0f = jnp.floor(jnp.minimum(cx_a, cx_b)) - (m + 1.0)
+        c_hi = jnp.maximum(cx_a, cx_b) + (m + 2.0)
+        # inactive angles must not widen the union window
+        c0f = jnp.where(act, c0f, big)
+        c_hi = jnp.where(act, c_hi, -big)
+        angs.append((ia, s, c, act, r0, c0f, c_hi))
+
+    chunk_act = angs[0][3]
+    c0f_u = angs[0][5]
+    c_hi_u = angs[0][6]
+    for a in angs[1:]:
+        chunk_act = chunk_act | a[3]
+        c0f_u = jnp.minimum(c0f_u, a[5])
+        c_hi_u = jnp.maximum(c_hi_u, a[6])
+    c0_u = (c0f_u.astype(jnp.int32) // 128) * 128
+    span_u = c_hi_u.astype(jnp.int32) - c0_u
+
+    def build_parts(s, c, r0, ia, c0g, cwx):
+        """One angle's a_w-folded g rows and w0 block."""
+        rjv = r0.astype(jnp.float32) + j_vec
+        ry_v = jnp.minimum(n - 2.0 * s * (rjv - half), cap)
+        d1 = (rb_lo + i_row) - ry_v
+        a_w = coeff0 * jnp.exp2(cc2 * (d1 * d1))
+        rjc = r0.astype(jnp.float32) + i_colv
+        cx_v = jnp.minimum(n + 2.0 * c * (rjc - half), cap)
+        d0 = (c0g + l_cols[cwx]) - cx_v
+        w0 = jnp.exp2(cc2 * (d0 * d0))
+        r0a = jnp.clip((r0 // 128) * 128, 0, npad - 2 * _RW)
+        dr = r0 - r0a
+        gw = g_ref[:, :, ia, pl.ds(pl.multiple_of(r0a, 128), 2 * _RW)]
+        gw = gw.reshape(2 * npairs, 2 * _RW)
+        gw = pltpu.roll(gw, 2 * _RW - dr, 1)
+        aps = [a_w * gw[q : q + 1, :_RW] for q in range(2 * npairs)]
+        return aps, w0
+
+    def stacked(cwx):
+        c0t = jnp.clip(c0_u + _COL_PAD, 0, wt - cwx)
+        c0t = pl.multiple_of((c0t // 128) * 128, 128)
+        c0g = (c0t - _COL_PAD).astype(jnp.float32)
+        ap_blocks = [[] for _ in range(2 * npairs)]
+        w0_blocks = []
+        for ia, s, c, act, r0, _, _hi in angs:
+            aps, w0 = build_parts(s, c, r0, ia, c0g, cwx)
+            w0_blocks.append(w0)
+            for q in range(2 * npairs):
+                ap_blocks[q].append(aps[q])
+        w0_all = jnp.concatenate(w0_blocks, axis=0)  # (ACH*RW, cwx)
+        for p in range(npairs):
+            for ch in range(2):
+                ap_all = jnp.concatenate(ap_blocks[2 * p + ch], axis=1)
+                out = jnp.dot(
+                    ap_all, w0_all, preferred_element_type=jnp.float32
+                )
+                out_ref[p, ch, :, pl.ds(c0t, cwx)] += out
+
+    def per_angle_fallback():
+        cwx = cw_tiers[-1]
+        for ia, s, c, act, r0, c0f, c_hi in angs:
+            @pl.when(act)
+            def _(ia=ia, s=s, c=c, r0=r0, c0f=c0f):
+                c0 = (c0f.astype(jnp.int32) // 128) * 128
+                c0t = jnp.clip(c0 + _COL_PAD, 0, wt - cwx)
+                c0t = pl.multiple_of((c0t // 128) * 128, 128)
+                c0g = (c0t - _COL_PAD).astype(jnp.float32)
+                aps, w0 = build_parts(s, c, r0, ia, c0g, cwx)
+                for p in range(npairs):
+                    for ch in range(2):
+                        out = jnp.dot(
+                            aps[2 * p + ch], w0,
+                            preferred_element_type=jnp.float32,
+                        )
+                        out_ref[p, ch, :, pl.ds(c0t, cwx)] += out
+
+    @pl.when(chunk_act)
+    def _chunk():
+        prev = span_u <= 0
+        for cwx in cw_tiers[:-1]:
+            fits = span_u <= cwx
+            pl.when(fits & ~prev)(lambda cwx=cwx: stacked(cwx))
+            prev = fits
+        last_fits = span_u <= cw_tiers[-1]
+        pl.when(last_fits & ~prev)(lambda: stacked(cw_tiers[-1]))
+        pl.when(~last_fits)(per_angle_fallback)
 
 
 def _round_up(x: int, mult: int) -> int:
@@ -190,9 +406,9 @@ def _grid_driven(
     def call(g_chunk):
         pch = g_chunk.shape[0]
         kernel = partial(
-            _grid_kernel,
+            _grid_kernel_astack if _ASTACK else _grid_kernel,
             n=n, npad=npad, m=m, cc=float(cc), coeff0=float(coeff0),
-            cap=cap, wt=wt, npairs=pch,
+            cap=cap, wt=wt, npairs=pch, cw_tiers=_CW_TIERS,
         )
         return pl.pallas_call(
             kernel,
