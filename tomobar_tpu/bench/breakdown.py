@@ -13,7 +13,13 @@ Useful-FLOP accounting (algorithmic work, not implementation ops):
   2-tap interpolation (2 mul + 1 add) and one accumulate add per driven
   lane -> 4 flops x nz x A x ny x nx.  This is the same count a perfect
   Joseph implementation needs, so achieved/roofline is comparable across
-  designs.
+  designs.  Note the model deliberately counts NO shift work: the 2-pass
+  kernels realise the per-(row, angle) displacement as dynamic lane
+  rolls, which are real VPU cycles the 4-flop model treats as free, so
+  ~0.6-0.7 "utilisation" is close to this design's structural ceiling
+  (r5 ablations: the K4 unshear roll+blend+accumulate chain is ~5 vreg
+  passes/element against the model's 4 flops; knob sweeps over
+  AB/YB/tile widths move BP by <2%).
 * PD-TV: the fused Chambolle-Pock iteration does ~42 flops/voxel/iter
   (3 forward diffs, norm + projection, divergence, primal + relaxation);
   HBM bytes are 9 moves/voxel/sweep — one HBM pass per fused sweep of

@@ -83,12 +83,14 @@ _AB = int(_os.environ.get("TOMOBAR_TPU_AB", "16"))
 # variants keep _AB — all three decouple via env knobs
 _AB_FP = int(_os.environ.get("TOMOBAR_TPU_AB_FP", "32"))
 _AB_BP = int(_os.environ.get("TOMOBAR_TPU_AB_BP", "32"))
-_TT = 128  # resample output tile (lanes)
-_TW = 512  # resample input window (covers 128*sqrt(2) + align + slack)
-_UT = 128  # resample-transpose output tile
-# t-window per u-tile: up to 127/|alpha| <= 127 samples + kernel margin
-# + up to 128 lost to 128-alignment of the window start => 384 lanes
-_PW = 384
+# resample tiles: output tile width and the input window that covers it
+# (window = tile * max|alpha| (FP) or tile / min|alpha| (BP) + taps +
+# up to 128 lost to 128-alignment).  Wider tiles run fewer of the tiny
+# (nz-row) MXU matmuls, amortising fill/drain.
+_TT = int(_os.environ.get("TOMOBAR_TPU_TT", "128"))  # resample output tile
+_TW = int(_os.environ.get("TOMOBAR_TPU_TW", "512"))  # resample input window
+_UT = int(_os.environ.get("TOMOBAR_TPU_UT", "128"))  # transpose output tile
+_PW = int(_os.environ.get("TOMOBAR_TPU_PW", "384"))  # transpose input window
 # bytes for the (YB, nz, NXP) volume block: K4 re-fetches the q angle
 # blocks once per row block, so a larger YB directly divides that traffic
 # and amortises the in-kernel qd build; the K1 streamed-input side stays
@@ -157,6 +159,7 @@ def _driven_params(
         NXP += 128  # per-sublane extra shifts (<= 8 lanes past the uniform roll)
     U0 = _round_up(ny // 2 + 2, 128)
     LU = _round_up(U0 + ny // 2 + 2 + NXP, 128) + 128
+    LU = _round_up(LU, max(128, _UT))  # K3 tiles LU in _UT steps
     return _DrivenParams(
         alpha.astype(np.float32),
         beta.astype(np.float32),
@@ -203,6 +206,7 @@ def _driven_params_traced(
         NXP += 128
     U0 = _round_up(ny // 2 + 2, 128)
     LU = _round_up(U0 + ny // 2 + 2 + NXP, 128) + 128
+    LU = _round_up(LU, max(128, _UT))  # K3 tiles LU in _UT steps
     return _DrivenParams(
         alpha, beta, gamma, A, det_x, U0, NXP, LU, packed, ab
     )
