@@ -388,3 +388,36 @@ class TestDeviceMemStackShapeMode:
         rt = fourier_problem["rt"]
         with pytest.raises(Exception):
             rt.FOURIER_INV(fourier_problem["sino"].shape, filter_type="shepp")
+
+
+class TestStageAttributedMemory:
+    """Per-stage memory attribution (VERDICT r4 next-9): the chunk
+    heuristic's grid-buffer model is checked against XLA's own numbers
+    instead of asserted."""
+
+    def test_stage_breakdown_and_heuristic(self):
+        from tomobar_tpu.utils.memest import estimate_fourier_inv_memory
+
+        # large enough that the (2n)^2 grids dominate the sinogram-sized
+        # stages (the regime the chunk heuristic plans for)
+        N, nz, nproj = 128, 4, 90
+        angles = np.linspace(0, np.pi, nproj, endpoint=False)
+        rt = RecToolsDIRCuPy(N, 0, nz, 0.0, angles, N)
+        r = estimate_fourier_inv_memory(
+            rt, (nz, nproj, N), per_stage=True, filter_type="shepp"
+        )
+        assert set(r["stages"]) == {"filter", "fft1d", "grid", "ifft2",
+                                    "unpad"}
+        assert r["stage_peak"] == max(
+            s["total"] for s in r["stages"].values()
+        )
+        # the chunk heuristic models the peak as 4 grid-sized f32 buffers
+        # per z-pair (ops/usfft._fourier_inv_memory_chunks); XLA measures
+        # 3.5 at the ifft2 stage -> the heuristic must stay within 25%
+        n = N + 2 * rt.geom.detectors_x_pad
+        pairs = (nz + nz % 2) // 2
+        heuristic = 4 * 2 * (2 * n) * (2 * n) * 4.0 * pairs
+        ratio = heuristic / r["stage_peak"]
+        assert 1.0 <= ratio <= 1.25, (heuristic, r["stage_peak"], ratio)
+        # and the whole-pipeline total is also covered by the heuristic
+        assert heuristic >= 0.95 * r["total"]

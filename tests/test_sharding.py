@@ -351,3 +351,36 @@ def test_two_process_distributed_cpu():
     for pid, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"proc {pid} failed:\n{out}\n{err}"
         assert f"DIST_OK {pid}" in out
+
+
+class TestCommModelValidation:
+    """The ICI comm model (bench/scaling.py) priced against the compiled
+    program: XLA must emit exactly the full-volume psums the model
+    charges for (2 per subset: one per driven group per BP), with only
+    small side tensors on top (VERDICT r4 next-5)."""
+
+    def test_hlo_psum_payload_matches_model(self):
+        from tomobar_tpu.bench.scaling import count_psums_in_step
+
+        audit = count_psums_in_step(
+            n_a_devices=4, N=64, nz=2, nproj=48, os_number=3
+        )
+        assert audit["hlo_volume_psums"] == audit["model_volume_psums"]
+        # gather-index side tensors folded into the combined collectives
+        # stay a small fraction of the volume payload
+        assert 1.0 <= audit["hlo_over_model"] < 1.3, audit
+
+    def test_predicted_pod_efficiency_derivation(self):
+        from tomobar_tpu.bench.scaling import comm_model
+
+        # north-star scale: 1801x8x2560, OS=10, measured ~0.81 s/outer
+        m = comm_model(2560, 8, 10, 0.81)
+        assert m["psums_per_outer"] == 20
+        assert m["bytes_psummed_per_outer"] == 20 * 8 * 2560 * 2560 * 4
+        for chip in ("v5e", "v5p"):
+            eff = m["predicted_pod_efficiency"][chip]
+            # z axis carries no collectives
+            assert eff["z=2_hosts(DCN)"] == 1.0
+            # efficiency decreases monotonically with angle shards but
+            # stays useful at 8-way on both chips
+            assert eff["angles=2"] > eff["angles=8"] > 0.5

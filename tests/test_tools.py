@@ -106,3 +106,57 @@ class TestNormaliser:
         assert out.shape == data.shape
         # -log(0.5) ~ 0.693 up to flat-field noise
         assert abs(out.mean() - 0.693) < 0.1
+
+    def test_dynamic_dffc_runs(self):
+        """Dynamic (PCA eigen-flat-field) normalisation end-to-end on a
+        synthetic stack with a drifting flat field."""
+        rng = np.random.default_rng(11)
+        dety, nfr, detx = 16, 12, 24
+        base = 1.0 + 0.1 * np.sin(np.linspace(0, 3, detx))[None, :]
+        drift = np.linspace(0.9, 1.1, nfr)
+        flats = np.stack(
+            [base * d + 0.01 * rng.standard_normal((dety, detx))
+             for d in drift], axis=1
+        ).astype(np.float32)  # (detY, frames, detX)
+        data = (0.6 * flats).astype(np.float32)
+        darks = np.zeros_like(flats)
+        out = normaliser(
+            data, flats, darks, log=True, method="dynamic",
+            dyn_iterations=3,
+        )
+        assert out.shape == data.shape and np.isfinite(out).all()
+        assert abs(np.median(out) - 0.511) < 0.15  # -log(0.6) ~ 0.511
+
+    def test_dynamic_dffc_wavelet_denoiser(self):
+        """dyn_denoiser='wavelet' routes eigen-flat-field denoising
+        through the Haar shrinkage (VERDICT r4 next-10; the built-in
+        stand-in for the reference's optional BM3D)."""
+        rng = np.random.default_rng(12)
+        dety, nfr, detx = 16, 10, 24
+        flats = (
+            1.0 + 0.05 * rng.standard_normal((dety, nfr, detx))
+        ).astype(np.float32)
+        data = (0.7 * flats).astype(np.float32)
+        out = normaliser(
+            data, flats, np.zeros_like(flats), log=True, method="dynamic",
+            dyn_denoiser="wavelet", dyn_iterations=3,
+        )
+        assert out.shape == data.shape and np.isfinite(out).all()
+        with pytest.raises(NameError):
+            normaliser(
+                data, flats, np.zeros_like(flats), method="dynamic",
+                dyn_denoiser="bm3d",
+            )
+
+    def test_wavelet_denoise_reduces_noise(self):
+        from tomobar_tpu.utils.dffc import wavelet_denoise
+
+        rng = np.random.default_rng(13)
+        y, x = np.mgrid[0:64, 0:64]
+        clean = np.sin(x / 9.0) + 0.5 * np.cos(y / 7.0)
+        noisy = clean + 0.2 * rng.standard_normal(clean.shape)
+        den = wavelet_denoise(noisy)
+        assert den.shape == clean.shape
+        err_n = np.sqrt(np.mean((noisy - clean) ** 2))
+        err_d = np.sqrt(np.mean((den - clean) ** 2))
+        assert err_d < 0.7 * err_n, (err_n, err_d)

@@ -304,10 +304,15 @@ def _fourier_inv_memory_chunks(
     Honours the reference's memory-tuning kwargs (``methodsDIR_CuPy.py:
     179-237``): an explicit ``chunk_count`` wins; ``min_mem_usage_filter``
     / ``min_mem_usage_ifft2`` True selects a chunk count that keeps the
-    dominant transient — the two (pairs, 2, ~2n, ~2n) extended grids plus
-    the ifft2 working set, ~5 grid-sized f32 buffers — under
-    ``mem_budget_gb`` (default 8, half a v5e's HBM).  Launch-shape-only
-    kwargs (block_dim*, *_chunk_count) remain accepted and ignored.
+    dominant transient under ``mem_budget_gb`` (default 8, half a v5e's
+    HBM).  The transient model is 4 grid-sized f32 buffers per z-pair:
+    XLA's own memory analysis attributes the high-water mark to the
+    ifft2 stage at exactly 3.5 such buffers (in re/im + out re/im + 1.5
+    working set), measured stably across sizes via
+    ``utils.memest.estimate_fourier_inv_memory(per_stage=True)``; 4
+    leaves ~14% headroom (a test pins the heuristic within 25% of the
+    measured stage peak).  Launch-shape-only kwargs (block_dim*,
+    *_chunk_count) remain accepted and ignored.
     """
     chunk_count = kwargs.get("chunk_count")
     if chunk_count is not None:
@@ -317,7 +322,7 @@ def _fourier_inv_memory_chunks(
         return min(chunk_count, max(nz // 2, 1))
     if kwargs.get("min_mem_usage_filter") or kwargs.get("min_mem_usage_ifft2"):
         budget = float(kwargs.get("mem_budget_gb", 8.0)) * 1e9
-        per_pair = 5 * 2 * (2 * n) * (2 * n) * 4.0
+        per_pair = 4 * 2 * (2 * n) * (2 * n) * 4.0
         pairs_per_chunk = max(int(budget // per_pair), 1)
         return max(-(-(nz // 2) // pairs_per_chunk), 1)
     return 1

