@@ -360,11 +360,20 @@ class TestCommModelValidation:
     small side tensors on top (VERDICT r4 next-5)."""
 
     def test_hlo_psum_payload_matches_model(self):
-        from tomobar_tpu.bench.scaling import count_psums_in_step
-
-        audit = count_psums_in_step(
-            n_a_devices=4, N=64, nz=2, nproj=48, os_number=3
+        # subprocess: needs a multi-device mesh on either test lane
+        out = run_in_cpu_mesh_subprocess(
+            """
+            import json
+            from tomobar_tpu.bench.scaling import count_psums_in_step
+            audit = count_psums_in_step(
+                n_a_devices=4, N=64, nz=2, nproj=48, os_number=3
+            )
+            print("AUDIT", json.dumps(audit))
+            """
         )
+        import json
+
+        audit = json.loads(out.split("AUDIT", 1)[1].strip().splitlines()[0])
         assert audit["hlo_volume_psums"] == audit["model_volume_psums"]
         # gather-index side tensors folded into the combined collectives
         # stay a small fraction of the volume payload
