@@ -7,7 +7,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from conftest import dev_tol
+from conftest import dev_tol, on_real_device
 
 from tomobar_tpu.ops.filters import (
     CLASSIC_FILTER_TYPES,
@@ -418,6 +418,10 @@ class TestStageAttributedMemory:
         pairs = (nz + nz % 2) // 2
         heuristic = 4 * 2 * (2 * n) * (2 * n) * 4.0 * pairs
         ratio = heuristic / r["stage_peak"]
-        assert 1.0 <= ratio <= 1.25, (heuristic, r["stage_peak"], ratio)
+        # CPU path: XLA measures 3.5 buffers at ifft2 -> within 25%.
+        # TPU path: more aggressive aliasing halves the measured peak
+        # (2.0 buffers) -> the heuristic stays a safe upper bound there.
+        hi = 2.2 if on_real_device() else 1.25
+        assert 1.0 <= ratio <= hi, (heuristic, r["stage_peak"], ratio)
         # and the whole-pipeline total is also covered by the heuristic
         assert heuristic >= 0.95 * r["total"]
