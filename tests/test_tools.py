@@ -160,3 +160,43 @@ class TestNormaliser:
         err_n = np.sqrt(np.mean((noisy - clean) ** 2))
         err_d = np.sqrt(np.mean((den - clean) ** 2))
         assert err_d < 0.7 * err_n, (err_n, err_d)
+
+
+class TestCenterFinder:
+    """Automatic CoR estimation (utils/center.py) — a framework addition
+    the reference leaves to manual demo sweeps."""
+
+    def _sino(self, cor, n=128, nang=180):
+        import jax.numpy as jnp
+
+        from conftest import shepp_logan_slice
+        from tomobar_tpu.geometry import Geometry
+        from tomobar_tpu.ops.projector import radon_fp
+
+        angles = np.linspace(0, np.pi, nang, endpoint=False)
+        geom = Geometry(
+            detectors_x=n, detectors_y=None, angles=angles, recon_size=n,
+            center_rot_offset=cor,
+        )
+        return np.asarray(
+            radon_fp(jnp.asarray(shepp_logan_slice(n)), geom)
+        ), angles
+
+    @pytest.mark.parametrize("cor", [0.0, 3.25, -5.5, 10.0])
+    def test_correlation_recovers_cor(self, cor):
+        from tomobar_tpu.utils.center import find_center_correlation
+
+        sino, angles = self._sino(cor)
+        est = find_center_correlation(sino, angles)
+        assert abs(est - cor) < 0.35, (cor, est)
+
+    def test_noise_robust_and_3d_input(self):
+        from tomobar_tpu.utils.center import find_center_correlation
+
+        sino, angles = self._sino(4.5)
+        rng = np.random.default_rng(3)
+        noisy = sino + rng.normal(0, 0.05 * sino.max(), sino.shape)
+        est = find_center_correlation(
+            np.stack([noisy, noisy]), angles, search_radius=20.0
+        )
+        assert abs(est - 4.5) < 0.5, est
