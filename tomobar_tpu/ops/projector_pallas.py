@@ -280,7 +280,7 @@ def _dot_b3(a, b):
 # ---------------------------------------------------------------------------
 
 
-def _shear_fp_kernel(beta_ref, vol_ref, s_ref, *, YB, U0, NXP, ny, AB):
+def _shear_fp_kernel(beta_ref, vol_ref, s_ref, *, YB, U0, NXP, NXR, ny, AB):
     ab = pl.program_id(0)
     yb = pl.program_id(1)
 
@@ -292,7 +292,11 @@ def _shear_fp_kernel(beta_ref, vol_ref, s_ref, *, YB, U0, NXP, ny, AB):
 
     def row_body(i, _):
         y = (yb * YB + i).astype(jnp.float32)
-        row = vol_ref[i]  # (nz, NXP)
+        # rows are streamed at NXR (= nx rounded to lanes) and extended to
+        # the NXP roll-headroom width in-kernel: one vreg copy per row per
+        # angle-block step instead of an XLA pad materialising (and then
+        # streaming) the extra lanes from HBM
+        row = jnp.pad(vol_ref[i], ((0, 0), (0, NXP - NXR)))  # (nz, NXP)
         # row_d precomputed once per row: g = row + f*row_d (one FMA/angle)
         row_d = pltpu.roll(row, NXP - 1, 1) - row  # row[j+1] - row[j]
 
@@ -334,7 +338,9 @@ def _shear_fp_kernel(beta_ref, vol_ref, s_ref, *, YB, U0, NXP, ny, AB):
 # ---------------------------------------------------------------------------
 
 
-def _shear_fp_packed_kernel(beta_ref, vol_ref, s_ref, *, YBG, U0, NXP, ny, AB):
+def _shear_fp_packed_kernel(
+    beta_ref, vol_ref, s_ref, *, YBG, U0, NXP, NXR, ny, AB
+):
     ab = pl.program_id(0)
     yb = pl.program_id(1)
 
@@ -348,7 +354,8 @@ def _shear_fp_packed_kernel(beta_ref, vol_ref, s_ref, *, YBG, U0, NXP, ny, AB):
 
     def grp_body(i, _):
         y0 = ((yb * YBG + i) * 8).astype(jnp.float32)
-        rows = vol_ref[i]  # (8, NXP): 8 consecutive image rows
+        # 8 consecutive image rows, extended in-kernel (see K1 note)
+        rows = jnp.pad(vol_ref[i], ((0, 0), (0, NXP - NXR)))  # (8, NXP)
         # bf16x3 operand split hoisted out of the angle loop (see _dot_b3)
         r_hi = rows.astype(jnp.bfloat16)
         r_lo = (rows - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -473,7 +480,9 @@ def _resample_bp_kernel(alpha_ref, gamma_ref, p_ref, q_ref, *, U0, TP, det_x, LU
 # ---------------------------------------------------------------------------
 
 
-def _unshear_bp_kernel(beta_ref, q_ref, vol_ref, qd_ref, *, YB, U0, NXP, ny, AB):
+def _unshear_bp_kernel(
+    beta_ref, q_ref, vol_ref, qd_ref, *, YB, U0, NXP, NXR, ny, AB
+):
     """One dynamic roll per (row, angle):
     (1-f)*q[o+j] + f*q[o+j-1] == q[o+j] - f*d[o+j]  with d[u] = q[u]-q[u-1].
     ``d`` is computed once per (row-block, angle-block) grid step into a
@@ -515,9 +524,13 @@ def _unshear_bp_kernel(beta_ref, q_ref, vol_ref, qd_ref, *, YB, U0, NXP, ny, AB)
             return acc + pltpu.roll(g, NXP - o1_lo - 1, 1)  # g[j+o1_lo+1]
 
         acc = jax.lax.fori_loop(
-            0, AB, ang_body, jnp.zeros_like(vol_ref[i]), unroll=AB
+            0, AB, ang_body,
+            jnp.zeros((q_ref.shape[1], NXP), jnp.float32), unroll=AB,
         )
-        vol_ref[i] += acc
+        # the output block is NXR (= nx rounded to lanes) wide: the
+        # NXP-NXR roll-headroom lanes are dead weight downstream, and
+        # writing them would force an XLA slice copy after the kernel
+        vol_ref[i] += acc[:, :NXR]
         return 0
 
     jax.lax.fori_loop(0, YB, row_body, 0)
@@ -537,13 +550,16 @@ def _unshear_bp_kernel(beta_ref, q_ref, vol_ref, qd_ref, *, YB, U0, NXP, ny, AB)
 # prestacked in XLA — qS[a, d] = roll(q[a], d) — and the kernel applies
 # only a plain uniform dynamic roll, which is exact.  The output rows land
 # at lane offset _BP_OUT_OFF so live lanes stay in the non-wrapped region;
-# the driver slices the volume back out at [_BP_OUT_OFF, _BP_OUT_OFF + nx).
+# the kernel slices [_BP_OUT_OFF, _BP_OUT_OFF + NXR) out of the matmul
+# result so the output block carries only live lanes.
 # ---------------------------------------------------------------------------
 
 _BP_OUT_OFF = 256
 
 
-def _unshear_bp_packed_kernel(beta_ref, qs_ref, vol_ref, *, YBG, U0, NXP, ny, AB):
+def _unshear_bp_packed_kernel(
+    beta_ref, qs_ref, vol_ref, *, YBG, U0, NXP, NXR, ny, AB
+):
     yb = pl.program_id(0)
     ab = pl.program_id(1)
 
@@ -599,11 +615,14 @@ def _unshear_bp_packed_kernel(beta_ref, qs_ref, vol_ref, *, YBG, U0, NXP, ny, AB
         m_lo = jnp.concatenate(ml, axis=1)
         g_hi = jnp.concatenate(gh, axis=0)  # (16*_AB, NXP)
         g_lo = jnp.concatenate(gl, axis=0)
-        vol_ref[i] += (
+        out = (
             jnp.dot(m_hi, g_hi, preferred_element_type=jnp.float32)
             + jnp.dot(m_hi, g_lo, preferred_element_type=jnp.float32)
             + jnp.dot(m_lo, g_hi, preferred_element_type=jnp.float32)
         )
+        # live output lanes start at _BP_OUT_OFF (see module notes);
+        # write only the NXR useful lanes so no XLA slice copy follows
+        vol_ref[i] += out[:, _BP_OUT_OFF : _BP_OUT_OFF + NXR]
         return 0
 
     jax.lax.fori_loop(0, YBG, grp_body, 0)
@@ -614,35 +633,30 @@ def _unshear_bp_packed_kernel(beta_ref, qs_ref, vol_ref, *, YBG, U0, NXP, ny, AB
 # ---------------------------------------------------------------------------
 
 
-def _fp_driven_pallas(vol: jnp.ndarray, prm: _DrivenParams) -> jnp.ndarray:
-    """vol (nz, ny, nx) -> sino (nz, A, det_x) for one driven group."""
-    nz, ny, nx = vol.shape
+def _fp_shear_stage(vol_t: jnp.ndarray, prm: _DrivenParams) -> jnp.ndarray:
+    """K1/K1p: shear-sum.  vol_t (ny, nz, NXR) -> s (A_pad, nz, LU).
+    NXR is the lane-rounded row width; the kernels extend rows to the NXP
+    roll-headroom width in VMEM (see K1 note)."""
+    ny, nz, NXR = vol_t.shape
     A_pad = prm.alpha.shape[0]
     YB = _pick_yb(ny, nz, prm.NXP)
-    TP = _round_up(prm.det_x, _TT)
-
-    vol_t = jnp.swapaxes(vol, 0, 1)  # (ny, nz, nx)
-    vol_t = jnp.pad(vol_t, ((0, 0), (0, 0), (0, prm.NXP - nx)))
-
-    alpha = jnp.asarray(prm.alpha)
     beta = jnp.asarray(prm.beta)
-    gamma = jnp.asarray(prm.gamma)
 
     if prm.packed:
         ny_g = ny // 8
         YBG = _pick_yb(ny_g, 8, prm.NXP)
-        vol_g = vol_t.reshape(ny_g, 8, prm.NXP)
+        vol_g = vol_t.reshape(ny_g, 8, NXR)
         s = pl.pallas_call(
             partial(
                 _shear_fp_packed_kernel, YBG=YBG, U0=prm.U0, NXP=prm.NXP,
-                ny=ny, AB=prm.AB,
+                NXR=NXR, ny=ny, AB=prm.AB,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(A_pad // prm.AB, ny_g // YBG),
                 in_specs=[
                     pl.BlockSpec(
-                        (YBG, 8, prm.NXP), lambda ab, yb, *_: (yb, 0, 0),
+                        (YBG, 8, NXR), lambda ab, yb, *_: (yb, 0, 0),
                         memory_space=pltpu.VMEM,
                     )
                 ],
@@ -659,13 +673,16 @@ def _fp_driven_pallas(vol: jnp.ndarray, prm: _DrivenParams) -> jnp.ndarray:
         )(beta, vol_g)
     else:
         s = pl.pallas_call(
-            partial(_shear_fp_kernel, YB=YB, U0=prm.U0, NXP=prm.NXP, ny=ny, AB=prm.AB),
+            partial(
+                _shear_fp_kernel, YB=YB, U0=prm.U0, NXP=prm.NXP, NXR=NXR,
+                ny=ny, AB=prm.AB,
+            ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(A_pad // prm.AB, ny // YB),
                 in_specs=[
                     pl.BlockSpec(
-                        (YB, nz, prm.NXP), lambda ab, yb, *_: (yb, 0, 0),
+                        (YB, nz, NXR), lambda ab, yb, *_: (yb, 0, 0),
                         memory_space=pltpu.VMEM,
                     )
                 ],
@@ -680,7 +697,15 @@ def _fp_driven_pallas(vol: jnp.ndarray, prm: _DrivenParams) -> jnp.ndarray:
             ),
             interpret=_INTERPRET[0],
         )(beta, vol_t)
+    return s
 
+
+def _fp_resample_stage(s: jnp.ndarray, prm: _DrivenParams) -> jnp.ndarray:
+    """K2: resample.  s (A_pad, nz, LU) -> p (A_pad, nz, TP)."""
+    A_pad, nz, _ = s.shape
+    TP = _round_up(prm.det_x, _TT)
+    alpha = jnp.asarray(prm.alpha)
+    gamma = jnp.asarray(prm.gamma)
     p = pl.pallas_call(
         partial(
             _resample_fp_kernel, U0=prm.U0, LU=prm.LU, det_x=prm.det_x, TP=TP
@@ -705,27 +730,27 @@ def _fp_driven_pallas(vol: jnp.ndarray, prm: _DrivenParams) -> jnp.ndarray:
         ),
         interpret=_INTERPRET[0],
     )(alpha, gamma, s)
+    return p
 
+
+def _fp_driven_pallas(vol: jnp.ndarray, prm: _DrivenParams) -> jnp.ndarray:
+    """vol (nz, ny, nx) -> sino (nz, A, det_x) for one driven group."""
+    nz, ny, nx = vol.shape
+    vol_t = jnp.swapaxes(vol, 0, 1)  # (ny, nz, nx)
+    NXR = _round_up(nx, 128)
+    if NXR != nx:
+        vol_t = jnp.pad(vol_t, ((0, 0), (0, 0), (0, NXR - nx)))
+    s = _fp_shear_stage(vol_t, prm)
+    p = _fp_resample_stage(s, prm)
     return jnp.swapaxes(p[: prm.A, :, : prm.det_x], 0, 1)  # (nz, A, det_x)
 
 
-def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
-    """sino (nz, A, det_x) -> vol (nz, ny, nx) for one driven group."""
-    nz = sino.shape[0]
-    A_pad = prm.alpha.shape[0]
-    YB = _pick_yb(ny, nz, prm.NXP, _YB_VMEM_BUDGET_BP)
-    TP = _round_up(prm.det_x, 128) + _PW  # padded detector lanes
-
-    p = jnp.swapaxes(sino, 0, 1)  # (A, nz, det_x)
-    p = jnp.pad(
-        p, ((0, A_pad - prm.A), (0, 0), (0, TP - prm.det_x))
-    )  # zero rows for padded angles -> q rows are zero -> no BP contribution
-
+def _bp_resample_stage(p: jnp.ndarray, prm: _DrivenParams) -> jnp.ndarray:
+    """K3: resample transpose.  p (A_pad, nz, TP) -> q (A_pad, nz, LU)."""
+    A_pad, nz, TP = p.shape
     alpha = jnp.asarray(prm.alpha)
-    beta = jnp.asarray(prm.beta)
     gamma = jnp.asarray(prm.gamma)
-
-    q = pl.pallas_call(
+    return pl.pallas_call(
         partial(
             _resample_bp_kernel, U0=prm.U0, TP=TP, det_x=prm.det_x, LU=prm.LU
         ),
@@ -750,6 +775,18 @@ def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
         interpret=_INTERPRET[0],
     )(alpha, gamma, p)
 
+
+def _bp_unshear_stage(
+    q: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int
+) -> jnp.ndarray:
+    """K4/K4p: shear-sum transpose.  q (A_pad, nz, LU) -> vol_t
+    (ny, nz, NXR) with NXR = nx rounded up to a lane multiple (the kernels
+    write only the live output lanes, so no post-kernel slice copy)."""
+    A_pad, nz, _ = q.shape
+    YB = _pick_yb(ny, nz, prm.NXP, _YB_VMEM_BUDGET_BP)
+    NXR = _round_up(nx, 128)
+    beta = jnp.asarray(prm.beta)
+
     if prm.packed:
         ny_g = ny // 8
         YBG = _pick_yb(ny_g, 8, prm.NXP)
@@ -768,7 +805,7 @@ def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
         vol_g = pl.pallas_call(
             partial(
                 _unshear_bp_packed_kernel, YBG=YBG, U0=prm.U0, NXP=prm.NXP,
-                ny=ny, AB=prm.AB,
+                NXR=NXR, ny=ny, AB=prm.AB,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -780,26 +817,26 @@ def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
                     ),
                 ],
                 out_specs=pl.BlockSpec(
-                    (YBG, 8, prm.NXP), lambda yb, ab, *_: (yb, 0, 0),
+                    (YBG, 8, NXR), lambda yb, ab, *_: (yb, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ),
-            out_shape=jax.ShapeDtypeStruct((ny_g, 8, prm.NXP), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((ny_g, 8, NXR), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=_INTERPRET[0],
         )(beta, qs)
-        vol_t = vol_g.reshape(ny, nz, prm.NXP)
-        return jnp.swapaxes(
-            vol_t[:, :, _BP_OUT_OFF : _BP_OUT_OFF + nx], 0, 1
-        )  # (nz, ny, nx)
+        return vol_g.reshape(ny, nz, NXR)
 
     # backward-difference lines d[u] = q[u] - q[u-1] are built in-kernel
     # (VMEM scratch, one static roll per grid step — see kernel notes).
     # The u = 0 wrap is harmless: windows never start at 0 (U0 headroom).
-    vol_t = pl.pallas_call(
-        partial(_unshear_bp_kernel, YB=YB, U0=prm.U0, NXP=prm.NXP, ny=ny, AB=prm.AB),
+    return pl.pallas_call(
+        partial(
+            _unshear_bp_kernel, YB=YB, U0=prm.U0, NXP=prm.NXP, NXR=NXR,
+            ny=ny, AB=prm.AB,
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(ny // YB, A_pad // prm.AB),
@@ -810,20 +847,33 @@ def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (YB, nz, prm.NXP), lambda yb, ab, *_: (yb, 0, 0),
+                (YB, nz, NXR), lambda yb, ab, *_: (yb, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
                 pltpu.VMEM((prm.AB, nz, prm.LU), jnp.float32)
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((ny, nz, prm.NXP), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ny, nz, NXR), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_INTERPRET[0],
     )(beta, q)
 
+
+def _bp_driven_pallas(sino: jnp.ndarray, prm: _DrivenParams, ny: int, nx: int):
+    """sino (nz, A, det_x) -> vol (nz, ny, nx) for one driven group."""
+    A_pad = prm.alpha.shape[0]
+    TP = _round_up(prm.det_x, 128) + _PW  # padded detector lanes
+
+    p = jnp.swapaxes(sino, 0, 1)  # (A, nz, det_x)
+    p = jnp.pad(
+        p, ((0, A_pad - prm.A), (0, 0), (0, TP - prm.det_x))
+    )  # zero rows for padded angles -> q rows are zero -> no BP contribution
+
+    q = _bp_resample_stage(p, prm)
+    vol_t = _bp_unshear_stage(q, prm, ny, nx)
     return jnp.swapaxes(vol_t[:, :, :nx], 0, 1)  # (nz, ny, nx)
 
 
