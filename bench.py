@@ -63,10 +63,17 @@ def _timed_loop(step_fn, k_lo, k_hi, carry, *data):
 
 
 def _fista_step_builder(P, tv_iters, pwls=True):
+    """One FISTA-OS outer sweep, mirroring solvers.fista: on the Pallas
+    backend the state runs in t-layout (volumes (ny, nz, nx), sinogram
+    (angles, nz, det)) like the real solver does (solvers/core.py
+    _t_mode_ok); canonical layout elsewhere."""
     import jax.numpy as jnp
 
     from tomobar_tpu.regularisers import PD_TV
 
+    use_t = P.supports_t()
+    op = P.t_view() if use_t else P
+    layout = "t" if use_t else "zyx"
     n_sub = len(P.subset_indices)
     L_inv = jnp.float32(1.0 / 5000.0)
 
@@ -74,17 +81,17 @@ def _fista_step_builder(P, tv_iters, pwls=True):
         x, x_t, t = carry
         for s in range(n_sub):
             x_old, t_old = x, t
-            res = P.fp_sub(x_t, s) - P.sino_subset(sino, s)
+            res = op.fp_sub(x_t, s) - op.sino_subset(sino, s)
             if pwls:
-                res = res * P.sino_subset(weights, s)
-            grad = P.bp_sub(res, s)
+                res = res * op.sino_subset(weights, s)
+            grad = op.bp_sub(res, s)
             x = jnp.maximum(x_t - L_inv * grad, 0.0)
-            x = PD_TV(x, 1e-4, tv_iters, 0, 1, 12.0)
+            x = PD_TV(x, 1e-4, tv_iters, 0, 1, 12.0, layout=layout)
             t = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) * 0.5
             x_t = x + ((t_old - 1.0) / t) * (x - x_old)
         return x, x_t, t
 
-    return fista_iter
+    return fista_iter, use_t
 
 
 def bench_fista3d(N, nz, nproj, os_number, iters, tv_iters, pwls=True):
@@ -109,8 +116,14 @@ def bench_fista3d(N, nz, nproj, os_number, iters, tv_iters, pwls=True):
         if pwls
         else jnp.ones((1, 1, 1), jnp.float32)
     )
-    step = _fista_step_builder(P, tv_iters, pwls=pwls)
-    x = jnp.zeros((nz, N, N), dtype=jnp.float32)
+    step, use_t = _fista_step_builder(P, tv_iters, pwls=pwls)
+    if use_t:
+        # entry-time conversions, exactly as solvers.fista does them
+        sino = jnp.swapaxes(sino, 0, 1)
+        w = jnp.swapaxes(w, 0, 1) if pwls else w
+        x = jnp.zeros((N, nz, N), dtype=jnp.float32)
+    else:
+        x = jnp.zeros((nz, N, N), dtype=jnp.float32)
     t = jnp.float32(1.0)
     dt = _timed_loop(step, iters, 3 * iters, (x, x, t), sino, w)
     return 1.0 / dt
@@ -144,21 +157,28 @@ def bench_admm3d(N, nz, nproj, iters, tv_iters):
     rho = jnp.float32(1.0)
     tau = jnp.float32(0.9 / (5000.0 + 1.0))
     alpha = jnp.float32(1.6)
+    use_t = P.supports_t()
+    op = P.t_view() if use_t else P
+    layout = "t" if use_t else "zyx"
 
     def admm_iter(carry, sino):
         x, z, u = carry
         for s in range(n_sub):
             z_old = z
-            res = P.fp_sub(z, s) - P.sino_subset(sino, s)
-            grad = P.bp_sub(res, s) + rho * (z - x + u)
+            res = op.fp_sub(z, s) - op.sino_subset(sino, s)
+            grad = op.bp_sub(res, s) + rho * (z - x + u)
             z = jnp.maximum(z - tau * grad, 0.0)
             z = (1.0 - alpha) * z_old + alpha * z
-            x = PD_TV(z + u, 1e-4, tv_iters, 0, 1, 12.0)
+            x = PD_TV(z + u, 1e-4, tv_iters, 0, 1, 12.0, layout=layout)
         u = u + (z - x)
         return x, z, u
 
     # warm start: one FBP-scale volume (content irrelevant for timing)
-    x0 = jax.random.uniform(key, (nz, N, N), dtype=jnp.float32)
+    if use_t:
+        sino = jnp.swapaxes(sino, 0, 1)
+        x0 = jax.random.uniform(key, (N, nz, N), dtype=jnp.float32)
+    else:
+        x0 = jax.random.uniform(key, (nz, N, N), dtype=jnp.float32)
     dt = _timed_loop(
         admm_iter, iters, 3 * iters, (x0, x0, jnp.zeros_like(x0)), sino
     )

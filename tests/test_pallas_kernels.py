@@ -11,7 +11,12 @@ from tomobar_tpu.regularisers import PD_TV
 from tomobar_tpu.ops.pd_tv_pallas import pd_tv_pallas, pd_tv_pallas_supported
 from tomobar_tpu.ops import projector_pallas
 from tomobar_tpu.ops.projector import radon_bp, radon_fp
-from tomobar_tpu.ops.projector_pallas import radon_bp_pallas, radon_fp_pallas
+from tomobar_tpu.ops.projector_pallas import (
+    radon_bp_pallas,
+    radon_bp_pallas_t,
+    radon_fp_pallas,
+    radon_fp_pallas_t,
+)
 
 
 import os
@@ -158,6 +163,128 @@ class TestProjectorPallas:
 def vol():
     rng = np.random.default_rng(0)
     return jnp.asarray(rng.standard_normal((4, 32, 128)), dtype=jnp.float32)
+
+
+class TestTLayout:
+    """t-layout entry points (solver-state layouts: volumes (ny, nz, nx),
+    sinograms (angles, nz, det)) must agree exactly with the canonical
+    entry points up to the axis permutation — the solvers rely on this to
+    run their whole state transposed (solvers/core.py _t_mode_ok)."""
+
+    N = 64
+
+    def _geom(self, cor=0.0, n_ang=45, os_number=1):
+        angles = np.linspace(0.0, np.pi, n_ang, endpoint=False)
+        return Geometry(
+            detectors_x=self.N, detectors_y=2, angles=angles,
+            center_rot_offset=cor, recon_size=self.N, os_number=os_number,
+        )
+
+    @pytest.mark.parametrize("cor", [0.0, 2.5])
+    def test_fp_t_matches_canonical(self, pallas_interpret, phantom3d_small, cor):
+        geom = self._geom(cor=cor)
+        a = np.asarray(radon_fp_pallas(phantom3d_small, geom))
+        b = np.asarray(
+            radon_fp_pallas_t(jnp.swapaxes(phantom3d_small, 0, 1), geom)
+        )
+        np.testing.assert_allclose(np.swapaxes(b, 0, 1), a, rtol=0, atol=1e-5)
+
+    @pytest.mark.parametrize("cor", [0.0, -1.5])
+    def test_bp_t_matches_canonical(self, pallas_interpret, cor):
+        geom = self._geom(cor=cor)
+        rng = np.random.default_rng(3)
+        sino = jnp.asarray(
+            rng.standard_normal((2, geom.n_angles, self.N)), jnp.float32
+        )
+        a = np.asarray(radon_bp_pallas(sino, geom))
+        b = np.asarray(radon_bp_pallas_t(jnp.swapaxes(sino, 0, 1), geom))
+        np.testing.assert_allclose(np.swapaxes(b, 0, 1), a, rtol=0, atol=1e-5)
+
+    def test_fp_t_packed_2d(self, pallas_interpret):
+        """nz == 1 routes through the row-packed kernels in t-layout too."""
+        geom = self._geom()
+        rng = np.random.default_rng(4)
+        vol = jnp.asarray(rng.standard_normal((1, self.N, self.N)), jnp.float32)
+        a = np.asarray(radon_fp_pallas(vol, geom))
+        b = np.asarray(radon_fp_pallas_t(jnp.swapaxes(vol, 0, 1), geom))
+        np.testing.assert_allclose(np.swapaxes(b, 0, 1), a, rtol=0, atol=1e-5)
+        sino = jnp.asarray(
+            rng.standard_normal((1, geom.n_angles, self.N)), jnp.float32
+        )
+        c = np.asarray(radon_bp_pallas(sino, geom))
+        d = np.asarray(radon_bp_pallas_t(jnp.swapaxes(sino, 0, 1), geom))
+        np.testing.assert_allclose(np.swapaxes(d, 0, 1), c, rtol=0, atol=1e-5)
+
+    def test_t_adjointness(self, pallas_interpret):
+        """<A x, y> == <x, A^T y> holds for the t-layout pair directly."""
+        geom = self._geom(cor=1.0)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((self.N, 2, self.N)), jnp.float32)
+        y = jnp.asarray(
+            rng.standard_normal((geom.n_angles, 2, self.N)), jnp.float32
+        )
+        ax = radon_fp_pallas_t(x, geom)
+        aty = radon_bp_pallas_t(y, geom)
+        lhs = float(jnp.vdot(ax, y))
+        rhs = float(jnp.vdot(x, aty))
+        assert abs(lhs - rhs) < 1e-3 * max(abs(lhs), 1.0)
+
+    @pytest.mark.parametrize("solver", ["fista", "admm"])
+    def test_solver_t_mode_matches_canonical(self, monkeypatch, solver):
+        """Forcing t-mode on the interpret-mode Pallas backend reproduces
+        the canonical-layout solver result exactly (the dispatch the real
+        TPU path takes via Projector.supports_t)."""
+        from tomobar_tpu.ops import projector as proj_mod
+        from tomobar_tpu.solvers import core as S
+
+        geom = self._geom(n_ang=8, os_number=2)
+        monkeypatch.setattr(proj_mod, "_BACKEND", "pallas")
+        projector_pallas._INTERPRET[0] = True
+        try:
+            P = proj_mod.Projector(geom)
+            rng = np.random.default_rng(6)
+            sino = jnp.asarray(
+                rng.standard_normal((2, geom.n_angles, self.N)), jnp.float32
+            )
+            fn = S.fista if solver == "fista" else S.admm
+            monkeypatch.setattr(
+                proj_mod.Projector, "supports_t", lambda self: False
+            )
+            a = np.asarray(
+                fn(P, sino, iterations=2, lipschitz_const=50.0,
+                   nonnegativity=True)
+            )
+            monkeypatch.setattr(
+                proj_mod.Projector, "supports_t", lambda self: True
+            )
+            b = np.asarray(
+                fn(P, sino, iterations=2, lipschitz_const=50.0,
+                   nonnegativity=True)
+            )
+        finally:
+            projector_pallas._INTERPRET[0] = False
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+
+    def test_pd_tv_t_layout_xla(self, vol):
+        """PD_TV(layout="t") == transposed PD_TV of the transposed input
+        on the XLA path (TV is axis-symmetric)."""
+        a = np.asarray(PD_TV(vol, 1e-2, 30))
+        b = np.asarray(
+            PD_TV(jnp.swapaxes(vol, 0, 1), 1e-2, 30, layout="t")
+        )
+        np.testing.assert_allclose(np.swapaxes(b, 0, 1), a, rtol=0, atol=2e-5)
+
+    def test_pd_tv_t_layout_kernel(self, vol):
+        """pd_tv_pallas(layout="t") skips the entry/exit transposes but
+        matches the canonical kernel exactly."""
+        a = np.asarray(pd_tv_pallas(vol, 0.1, 15, 0, 0, 8.0, interpret=True))
+        b = np.asarray(
+            pd_tv_pallas(
+                jnp.swapaxes(vol, 0, 1), 0.1, 15, 0, 0, 8.0,
+                interpret=True, layout="t",
+            )
+        )
+        np.testing.assert_allclose(np.swapaxes(b, 0, 1), a, rtol=0, atol=0)
 
 
 class TestPDTVPallas:

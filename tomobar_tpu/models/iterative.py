@@ -166,10 +166,10 @@ class RecToolsIRTPU:
             if d.get(k) is not None
         }
 
-    def _regul_fn(self, _regularisation_):
+    def _regul_fn(self, _regularisation_, layout: str = "zyx"):
         if _regularisation_.get("method") is None:
             return None
-        return lambda x: prox_regul(self, x, _regularisation_)
+        return lambda x: prox_regul(self, x, _regularisation_, layout=layout)
 
     def _step_key(self, method: str, d: dict, a: dict, r):
         """Hashable fingerprint of everything a verbose-mode outer step
@@ -292,6 +292,7 @@ class RecToolsIRTPU:
             nonnegativity=a["nonnegativity"],
             fidelity=d["data_fidelity"],
             regul_fn=self._regul_fn(r),
+            regul_fn_t=self._regul_fn(r, layout="t"),
             x0=x0,
             fid_kwargs=self._fid_kwargs(d),
             tolerance=a.get("tolerance", 0.0),
@@ -322,6 +323,7 @@ class RecToolsIRTPU:
             nonnegativity=a["nonnegativity"],
             fidelity=d["data_fidelity"],
             regul_fn=self._regul_fn(r),
+            regul_fn_t=self._regul_fn(r, layout="t"),
             x0=x0,
             fid_kwargs=self._fid_kwargs(d),
             tolerance=a.get("tolerance", 0.0),
@@ -343,6 +345,7 @@ class RecToolsIRTPU:
             d["projection_data"],
             iterations=a["iterations"],
             regul_fn=self._regul_fn(r),
+            regul_fn_t=self._regul_fn(r, layout="t"),
             x0=x0,
             normalisation_mode=a.get("osem_normalisation", "reference"),
         )

@@ -437,3 +437,51 @@ class Projector:
         if sino.ndim == 2:
             return sino[ind, :]
         return sino[:, ind, :]
+
+    # t-layout view -----------------------------------------------------------
+    def supports_t(self) -> bool:
+        """True when the t-layout view (:meth:`t_view`) is the fast path:
+        the Pallas kernels are active, so volumes as (ny, nz, nx) and
+        sinograms as (angles, nz, det) skip the per-call layout transposes
+        (~5 ms per FP+BP pair at production sizes on v5e)."""
+        return _use_pallas()
+
+    def t_view(self) -> "_TProjector":
+        return _TProjector(self)
+
+
+class _TProjector:
+    """t-layout view of a :class:`Projector`: the same operator pair with
+    volumes as ``(ny, nz, nx)`` and sinograms as ``(angles, nz, det_x)`` —
+    the Pallas kernels' native layouts.  Exposes the same ``fp``/``bp``/
+    ``fp_sub``/``bp_sub``/``sino_subset`` surface so the solver bodies and
+    :func:`tomobar_tpu.fidelity.grad_data_term` run unchanged on t-layout
+    state."""
+
+    def __init__(self, p: Projector):
+        self.geom = p.geom
+        self.subset_indices = p.subset_indices
+        self._sub_geoms = p._sub_geoms
+
+    def fp(self, vol_t: jnp.ndarray) -> jnp.ndarray:
+        from tomobar_tpu.ops.projector_pallas import radon_fp_pallas_t
+
+        return radon_fp_pallas_t(vol_t, self.geom)
+
+    def bp(self, sino_t: jnp.ndarray) -> jnp.ndarray:
+        from tomobar_tpu.ops.projector_pallas import radon_bp_pallas_t
+
+        return radon_bp_pallas_t(sino_t, self.geom)
+
+    def fp_sub(self, vol_t: jnp.ndarray, sub: int) -> jnp.ndarray:
+        from tomobar_tpu.ops.projector_pallas import radon_fp_pallas_t
+
+        return radon_fp_pallas_t(vol_t, self._sub_geoms[sub])
+
+    def bp_sub(self, sino_t: jnp.ndarray, sub: int) -> jnp.ndarray:
+        from tomobar_tpu.ops.projector_pallas import radon_bp_pallas_t
+
+        return radon_bp_pallas_t(sino_t, self._sub_geoms[sub])
+
+    def sino_subset(self, sino_t: jnp.ndarray, sub: int) -> jnp.ndarray:
+        return sino_t[self.subset_indices[sub]]
