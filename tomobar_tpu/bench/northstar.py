@@ -85,16 +85,34 @@ def _rel_rmse_fn():
 
 
 def _trajectory(step_c, carry, datas, phantom, outer, rel_fn, sync, ovh):
-    """Run ``outer`` compiled steps, recording (cumulative s, rel-RMSE)."""
-    traj = []
-    t_total = 0.0
+    """Run ``outer`` compiled steps, recording (cumulative s, rel-RMSE).
+
+    The axon-tunnelled device occasionally stalls for tens of seconds on
+    one dispatch (observed once in the r5 lane: a 71 s gap between two
+    otherwise 2.6 s outer iterations) — an infrastructure hiccup, not a
+    property of the reconstruction.  A step taking > 5x the median of the
+    others is therefore clamped to the median in the reported cumulative
+    times; the excluded wall-clock is returned separately so the artifact
+    stays honest about what was removed."""
+    durs = []
+    rmses = []
     for _ in range(outer):
         t0 = timeit.default_timer()
         carry = step_c(carry, *datas)
         sync(carry)
-        t_total += max(timeit.default_timer() - t0 - ovh, 0.0)
-        traj.append((t_total, float(rel_fn(carry[0], phantom))))
-    return carry, traj
+        durs.append(max(timeit.default_timer() - t0 - ovh, 0.0))
+        rmses.append(float(rel_fn(carry[0], phantom)))
+    med = float(np.median(durs))
+    stall_excluded = 0.0
+    t_total = 0.0
+    traj = []
+    for d, r in zip(durs, rmses):
+        if med > 0 and d > 5.0 * med:
+            stall_excluded += d - med
+            d = med
+        t_total += d
+        traj.append((t_total, r))
+    return carry, traj, stall_excluded
 
 
 def run_northstar(
@@ -193,31 +211,40 @@ def run_northstar(
     log(f"FBP rel-RMSE {rmse_fbp:.4f} ({out['fbp_s']}s)")
 
     # -- FISTA-OS-TV (PWLS) --------------------------------------------------
+    # t-layout state on the Pallas backend, exactly like solvers.fista
+    # (solvers/core.py _t_mode_ok); the trajectory's RMSE probe transposes
+    # the iterate back per outer iteration (2 nz-slabs, negligible)
     n_sub = len(P.subset_indices)
     L_inv = jnp.float32(1.0 / L)
+    use_t = P.supports_t()
+    op = P.t_view() if use_t else P
+    layout = "t" if use_t else "zyx"
+    sino_s = jnp.swapaxes(sino, 0, 1) if use_t else sino
+    w_s = jnp.swapaxes(w, 0, 1) if use_t else w
+    phantom_s = jnp.swapaxes(phantom, 0, 1) if use_t else phantom
 
     def fista_step(carry, sino, w):
         x, x_t, t = carry
         for s in range(n_sub):
             x_old, t_old = x, t
-            res = (P.fp_sub(x_t, s) - P.sino_subset(sino, s)) * P.sino_subset(w, s)
-            grad = P.bp_sub(res, s)
+            res = (op.fp_sub(x_t, s) - op.sino_subset(sino, s)) * op.sino_subset(w, s)
+            grad = op.bp_sub(res, s)
             x = jnp.maximum(x_t - L_inv * grad, 0.0)
-            x = PD_TV(x, regul_param, tv_iters, 0, 1, 12.0)
+            x = PD_TV(x, regul_param, tv_iters, 0, 1, 12.0, layout=layout)
             t = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) * 0.5
             x_t = x + ((t_old - 1.0) / t) * (x - x_old)
         return x, x_t, t
 
-    x0 = jnp.zeros((nz, N, N), jnp.float32)
+    x0 = jnp.zeros((N, nz, N) if use_t else (nz, N, N), jnp.float32)
     carry0 = (x0, x0, jnp.float32(1.0))
     step_c = (
-        jax.jit(fista_step).lower(carry0, sino, w).compile()
+        jax.jit(fista_step).lower(carry0, sino_s, w_s).compile()
     )
     # measure the tunnel sync overhead once on a ready buffer
     ovh = _sync_overhead(phantom)
     log("FISTA step compiled; running trajectory")
-    carry, traj = _trajectory(
-        step_c, carry0, (sino, w), phantom, fista_outer, rel_fn,
+    carry, traj, stall_s = _trajectory(
+        step_c, carry0, (sino_s, w_s), phantom_s, fista_outer, rel_fn,
         device_sync, ovh,
     )
     rmses = [r for _, r in traj]
@@ -242,6 +269,9 @@ def run_northstar(
         "total_s": round(traj[-1][0], 2),
         "trajectory": [(round(t, 2), round(r, 4)) for t, r in traj],
     }
+    if stall_s > 0:
+        # wall-clock removed by the outlier clamp (see _trajectory)
+        fista_res["stall_excluded_s"] = round(stall_s, 2)
     if measure_iter_s:
         # steady-state iter/s with the same converged-ish state (dispatch
         # cancelled via the two-length fori_loop difference)
@@ -253,13 +283,13 @@ def run_northstar(
             return jax.jit(run)
 
         f1, f3 = loop(2), loop(6)
-        device_sync(f1(carry, sino, w))
-        device_sync(f3(carry, sino, w))
+        device_sync(f1(carry, sino_s, w_s))
+        device_sync(f3(carry, sino_s, w_s))
         t0 = timeit.default_timer()
-        device_sync(f1(carry, sino, w))
+        device_sync(f1(carry, sino_s, w_s))
         t_lo = timeit.default_timer() - t0
         t0 = timeit.default_timer()
-        device_sync(f3(carry, sino, w))
+        device_sync(f3(carry, sino_s, w_s))
         t_hi = timeit.default_timer() - t0
         fista_res["iter_s"] = round(4.0 / max(t_hi - t_lo, 1e-9), 4)
     else:
@@ -286,24 +316,26 @@ def run_northstar(
     tau = jnp.float32(0.9 / (float(L) + 1.0))
     alpha_r = jnp.float32(1.6)
     regul_admm = jnp.float32(regul_param / 1.0)  # regul_param / rho
+    op24 = P24.t_view() if use_t else P24
 
     def admm_step(carry, sino):
         x, z, u = carry
         for s in range(n_sub24):
             z_old = z
-            res = P24.fp_sub(z, s) - P24.sino_subset(sino, s)
-            grad = P24.bp_sub(res, s) + rho * (z - x + u)
+            res = op24.fp_sub(z, s) - op24.sino_subset(sino, s)
+            grad = op24.bp_sub(res, s) + rho * (z - x + u)
             z = jnp.maximum(z - tau * grad, 0.0)
             z = (1.0 - alpha_r) * z_old + alpha_r * z
-            x = PD_TV(z + u, regul_admm, tv_iters, 0, 1, 12.0)
+            x = PD_TV(z + u, regul_admm, tv_iters, 0, 1, 12.0, layout=layout)
         u = u + (z - x)
         return x, z, u
 
-    carry_a = (fbp, fbp, jnp.zeros_like(fbp))
-    step_a = jax.jit(admm_step).lower(carry_a, sino).compile()
+    fbp_s = jnp.swapaxes(fbp, 0, 1) if use_t else fbp
+    carry_a = (fbp_s, fbp_s, jnp.zeros_like(fbp_s))
+    step_a = jax.jit(admm_step).lower(carry_a, sino_s).compile()
     log("ADMM step compiled; running warm-start trajectory")
-    carry_a, traj_a = _trajectory(
-        step_a, carry_a, (sino,), phantom, admm_outer, rel_fn,
+    carry_a, traj_a, stall_a = _trajectory(
+        step_a, carry_a, (sino_s,), phantom_s, admm_outer, rel_fn,
         device_sync, ovh,
     )
     out["admm"] = {
@@ -314,6 +346,8 @@ def run_northstar(
         "total_s": round(traj_a[-1][0], 2),
         "trajectory": [(round(t, 2), round(r, 4)) for t, r in traj_a],
     }
+    if stall_a > 0:
+        out["admm"]["stall_excluded_s"] = round(stall_a, 2)
     log(
         f"ADMM warm-start: rel-RMSE {traj_a[-1][1]:.4f} after "
         f"{admm_outer} outer ({traj_a[-1][0]:.1f}s)"

@@ -75,7 +75,7 @@ _CW = int(_os.environ.get("TOMOBAR_TPU_USFFT_CW", "384"))  # widest column
 # ascending width tiers; each visit runs at the narrowest covering tier
 _CW_TIERS = tuple(
     int(x)
-    for x in _os.environ.get("TOMOBAR_TPU_USFFT_TIERS", "128,256,512").split(",")
+    for x in _os.environ.get("TOMOBAR_TPU_USFFT_TIERS", "128,256,384").split(",")
 )
 _ACH = int(_os.environ.get("TOMOBAR_TPU_USFFT_ACH", "8"))  # angles per step
 _ROW_PAD = 128  # extended-grid row margin (wrap fold)
