@@ -62,7 +62,9 @@ def test_packed_shear_fp_matches_numpy_golden():
         s = pl.pallas_call(
             functools.partial(
                 pp._shear_fp_packed_kernel, YBG=YBG, U0=prm.U0,
-                NXP=prm.NXP, ny=ny, AB=prm.AB,
+                # the test feeds rows pre-padded to NXP, so the kernel's
+                # in-VMEM row extension (NXP - NXR) is a no-op here
+                NXP=prm.NXP, NXR=prm.NXP, ny=ny, AB=prm.AB,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,

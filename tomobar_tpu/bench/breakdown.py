@@ -128,13 +128,23 @@ def flagship_breakdown(N, nz, nproj, os_number, tv_iters, reps=10):
     P = Projector(geom)
     n_sub_ang = len(P.subset_indices[0])
 
+    # measure the layout the solvers actually run: t-layout state on the
+    # Pallas backend (solvers/core.py _t_mode_ok), canonical elsewhere
+    use_t = P.supports_t()
+    op = P.t_view() if use_t else P
+    layout = "t" if use_t else "zyx"
     key = jax.random.PRNGKey(0)
-    x = jax.random.uniform(key, (nz, N, N), dtype=jnp.float32)
-    sub0 = jax.random.uniform(key, (nz, n_sub_ang, N), dtype=jnp.float32)
+    x = jax.random.uniform(
+        key, (N, nz, N) if use_t else (nz, N, N), dtype=jnp.float32
+    )
+    sub0 = jax.random.uniform(
+        key, (n_sub_ang, nz, N) if use_t else (nz, n_sub_ang, N),
+        dtype=jnp.float32,
+    )
 
-    fp0 = jax.jit(lambda v: P.fp_sub(v, 0))
-    bp0 = jax.jit(lambda s: P.bp_sub(s, 0))
-    tv = jax.jit(lambda v: PD_TV(v, 1e-4, tv_iters, 0, 1, 12.0))
+    fp0 = jax.jit(lambda v: op.fp_sub(v, 0))
+    bp0 = jax.jit(lambda s: op.bp_sub(s, 0))
+    tv = jax.jit(lambda v: PD_TV(v, 1e-4, tv_iters, 0, 1, 12.0, layout=layout))
 
     out = {}
     t_fp = time_fn(fp0, x, reps=reps)
