@@ -456,9 +456,32 @@ def _resample_bp_kernel(alpha_ref, gamma_ref, p_ref, q_ref, *, U0, TP, det_x, LU
     t_ids = jax.lax.broadcasted_iota(jnp.int32, (_PW, _UT), 0).astype(jnp.float32)
     u_ids = jax.lax.broadcasted_iota(jnp.int32, (_PW, _UT), 1).astype(jnp.float32)
     abs_alpha = jnp.abs(alpha)
+    # live u-range of this angle: q[u] != 0 only where some detector
+    # sample position U0 + gamma + alpha*t (t in [0, det_x)) is within a
+    # hat-tap of u.  Tiles wholly outside are zero-filled and the banded
+    # matmul skipped — the worst-case LU covers |beta| = 1, so shallow
+    # angles pay for ~(ny - |beta|*ny) dead lanes otherwise.
+    e0 = U0 + gamma
+    e1 = U0 + gamma + alpha * (det_x - 1.0)
+    u_lo = jnp.minimum(e0, e1) - 2.0
+    u_hi = jnp.maximum(e0, e1) + 2.0
 
     def tile_body(ut, _):
         u0 = (ut * _UT).astype(jnp.float32)
+        live = (u0 + _UT > u_lo) & (u0 < u_hi)
+
+        @pl.when(~live)
+        def _():
+            q_ref[0, :, pl.ds(ut * _UT, _UT)] = jnp.zeros(
+                (p_ref.shape[1], _UT), jnp.float32
+            )
+
+        @pl.when(live)
+        def _():
+            _tile_live(ut, u0)
+        return 0
+
+    def _tile_live(ut, u0):
         # contributing t range: t = (u - U0 - gamma) / alpha over the tile
         tc0 = (u0 - U0 - gamma) / alpha
         tc1 = (u0 + _UT - 1 - U0 - gamma) / alpha
@@ -474,7 +497,6 @@ def _resample_bp_kernel(alpha_ref, gamma_ref, p_ref, q_ref, *, U0, TP, det_x, LU
         valid = (t_lo.astype(jnp.float32) + t_ids) < det_x
         m = jnp.where(valid, m, 0.0) * abs_alpha
         q_ref[0, :, pl.ds(ut * _UT, _UT)] = _dot_b3(win, m)
-        return 0
 
     jax.lax.fori_loop(0, LU // _UT, tile_body, 0)
 
